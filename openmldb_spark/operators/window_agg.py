@@ -1,0 +1,647 @@
+"""Windowed aggregation — OpenMLDB ROWS / ROWS_RANGE frames, Spark-first.
+
+Reference semantics: per-row backward-looking sliding window over
+(PARTITION BY key, ORDER BY ts) with the OpenMLDB extensions
+(hybridse/include/vm/mem_catalog.h:243-560 ``HistoryWindow``;
+docs/en/reference/sql/dql/WINDOW_CLAUSE.md):
+
+- ``ROWS BETWEEN s PRECEDING AND e PRECEDING|CURRENT ROW``
+- ``ROWS_RANGE BETWEEN S [OPEN] PRECEDING AND E PRECEDING|CURRENT ROW``
+  (time offsets, computed on int64 milliseconds — SURVEY.md §1.2)
+- ``MAXSIZE k`` — cap frame to the k newest rows after range filtering
+  (mem_catalog.h:468-480)
+- ``EXCLUDE CURRENT_TIME`` — drop other rows with ts == current ts, keep
+  the current row itself (mem_catalog.h:487-533)
+- ``EXCLUDE CURRENT_ROW`` — drop the current row from its own frame
+- ``WINDOW ... UNION tables`` — frame contents include rows from union
+  tables; only primary-table rows are emitted; at equal ts the primary
+  row sorts *after* union rows so they are visible to it
+  (WindowAggPlan.scala:78-84, TestWindowUnionWithSameTimestamp)
+- ``INSTANCE_NOT_IN_WINDOW`` — primary rows are never buffered: the frame
+  is the current row + union rows only
+- rows with NULL order key are dropped (WindowAggPlan.isValidOrder,
+  WindowAggPlan.scala:784-791)
+
+Execution strategy (mirrors the reference's repartition→sortWithinPartitions
+→stateful-iterator shape, WindowAggPlan.scala:320-341, but Spark-first):
+
+- **native**: when the frame is expressible as a Spark ``Window`` (no
+  maxsize / excludes / instance_not_in_window and SQL peer semantics),
+  every agg compiles to a Catalyst expression over
+  ``Window.partitionBy(keys).orderBy(ts_ms).rowsBetween/rangeBetween`` —
+  whole-stage-codegen'd, zero Python.
+- **kernel**: otherwise, one Arrow ``applyInPandas`` per (key[, salt])
+  group. The kernel is vectorized: frame bounds for *all* rows of a group
+  are computed with ``np.searchsorted`` on the sorted int64 ts array;
+  sum/count/avg/min/max(_where) read prefix-sum / sparse-table structures
+  (O(n log n) per group, no per-row Python for the numeric aggs).
+
+Peer visibility at duplicate ts: OpenMLDB's buffer holds only
+already-iterated rows, so a row does not see later-sorted rows with the
+same ts ("stream" semantics). SQL-standard RANGE frames include all ts
+peers ("sql" semantics — what Spark/DuckDB windows do natively). The
+kernel supports both via ``peer`` ; the native path is "sql" only.
+
+Skew: ``SkewConfig`` enables two-level salting with history replication,
+the algorithm of the reference's window skew optimization
+(java/openmldb-batch/.../utils/SkewDataFrameUtils.scala:26-143, configs
+OpenmldbBatchConfig.scala:50-71): per-key quantiles of the order key →
+part-id tagging via broadcast join → replicate rows into later parts with
+emit suppressed → repartition by (key, part).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Sequence
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_ORD = "__omls_ord"      # int64 order key (ms for timestamps)
+_SIDE = "__omls_side"    # 1 = primary, 0 = union row
+_EMIT = "__omls_emit"    # 1 = row is emitted (not a salt replica)
+_PART = "__omls_part"    # salt part id
+
+
+# ---------------------------------------------------------------------------
+# spec dataclasses
+
+
+@dataclass
+class Agg:
+    """One aggregate over the window frame.
+
+    fn ∈ {count, sum, avg, min, max, sum_where, count_where, avg_where,
+          min_where, max_where, distinct_count, first_value, lag,
+          top, topn_frequency, top1_ratio,
+          count_cate, sum_cate, avg_cate, min_cate, max_cate}
+
+    ``first_value`` follows OpenMLDB: the *newest* row of the frame
+    (docs udfs_8h.md), not SQL FIRST_VALUE. ``lag`` is partition-relative
+    (ignores the frame), matching the reference
+    (default_defs/window_functions_def.cc:96).
+    """
+    name: str
+    fn: str
+    col: str | None = None
+    cond: str | None = None      # SQL boolean expr for *_where
+    n: int | None = None         # lag offset / top-k / topn
+    cate: str | None = None      # category column for *_cate
+
+
+@dataclass
+class WindowSpecFE:
+    partition_by: Sequence[str]
+    order_by: str
+    frame: str = "range"              # "rows" | "range"
+    start: int = 0                    # s/S PRECEDING (rows or ms)
+    end: int = 0                      # 0 = CURRENT ROW; >0 = e PRECEDING
+    open_start: bool = False          # OPEN start bound (exclusive)
+    maxsize: int | None = None
+    exclude_current_time: bool = False
+    exclude_current_row: bool = False
+    union_dfs: Sequence[DataFrame] = field(default_factory=tuple)
+    instance_not_in_window: bool = False
+    tiebreak: Sequence[str] = field(default_factory=tuple)
+    peer: str = "stream"              # "stream" (OpenMLDB) | "sql"
+
+    def needs_kernel(self) -> bool:
+        if self.maxsize is not None or self.exclude_current_time \
+           or self.exclude_current_row or self.instance_not_in_window:
+            return True
+        if self.peer == "stream" and self.frame == "range":
+            return True
+        return False
+
+
+@dataclass
+class SkewConfig:
+    """Salting config (reference openmldb.window.skew.opt)."""
+    parts: int = 4            # salt fan-out for hot keys
+    min_rows: int = 100_000   # keys with fewer rows are not salted
+
+
+# ---------------------------------------------------------------------------
+# helpers
+
+
+from openmldb_spark.functions.timeutil import to_ms as _ord_ms_col
+
+
+def _ord_ms(df: DataFrame, col: str) -> Column:
+    return _ord_ms_col(df, col)
+
+
+_WIDEN = {
+    T.ShortType: T.LongType, T.IntegerType: T.LongType, T.LongType: T.LongType,
+    T.FloatType: T.DoubleType, T.DoubleType: T.DoubleType,
+}
+
+
+def _agg_out_type(a: Agg, in_schema: T.StructType) -> T.DataType:
+    if a.fn in ("count", "count_where", "distinct_count"):
+        return T.LongType()
+    if a.fn in ("avg", "avg_where", "top1_ratio"):
+        return T.DoubleType()
+    if a.fn in ("top", "topn_frequency", "count_cate", "sum_cate",
+                "avg_cate", "min_cate", "max_cate"):
+        return T.StringType()
+    src = in_schema[a.col].dataType
+    if a.fn in ("sum", "sum_where"):
+        return _WIDEN.get(type(src), T.DoubleType())()
+    return src  # min/max/first_value/lag keep input type
+
+
+# ---------------------------------------------------------------------------
+# native path
+
+
+def _native_expr(a: Agg, w, w_unb) -> Column:
+    c = F.col(a.col) if a.col else None
+    cond = F.expr(a.cond) if a.cond else None
+    guarded = F.when(cond, c) if cond is not None else c
+    if a.fn == "count":
+        e = F.count(F.lit(1)) if a.col in (None, "*") else F.count(c)
+    elif a.fn == "sum":
+        e = F.sum(c)
+    elif a.fn == "avg":
+        e = F.avg(c)
+    elif a.fn == "min":
+        e = F.min(c)
+    elif a.fn == "max":
+        e = F.max(c)
+    elif a.fn == "count_where":
+        e = F.count(guarded)
+    elif a.fn == "sum_where":
+        e = F.sum(guarded)
+    elif a.fn == "avg_where":
+        e = F.avg(guarded)
+    elif a.fn == "min_where":
+        e = F.min(guarded)
+    elif a.fn == "max_where":
+        e = F.max(guarded)
+    elif a.fn == "distinct_count":
+        return F.size(F.collect_set(c).over(w)).cast("long")
+    elif a.fn == "first_value":
+        # OpenMLDB first_value = newest row of the frame
+        return F.last(c, ignorenulls=False).over(w)
+    elif a.fn == "lag":
+        return F.lag(c, a.n or 1).over(w_unb)
+    elif a.fn == "top":
+        return F.concat_ws(",", F.slice(
+            F.sort_array(F.collect_list(c).over(w), asc=False), 1, a.n or 1))
+    else:
+        raise ValueError(f"agg fn {a.fn!r} not available on the native path")
+    return e.over(w)
+
+
+_NATIVE_FNS = {"count", "sum", "avg", "min", "max", "count_where",
+               "sum_where", "avg_where", "min_where", "max_where",
+               "distinct_count", "first_value", "lag", "top"}
+_ALL_FNS = _NATIVE_FNS | {"topn_frequency", "top1_ratio", "count_cate",
+                          "sum_cate", "avg_cate", "min_cate", "max_cate"}
+
+
+# ---------------------------------------------------------------------------
+# kernel path (vectorized frame computation)
+
+
+def _sparse_table(vals: np.ndarray, op) -> list[np.ndarray]:
+    """O(n log n) sparse table for range-min/max with NaN-ignore ops."""
+    tabs = [vals]
+    k = 1
+    while (1 << k) <= len(vals):
+        prev = tabs[-1]
+        half = 1 << (k - 1)
+        tabs.append(op(prev[:-half], prev[half:]))
+        k += 1
+    return tabs
+
+
+def _range_q(tabs, lo: np.ndarray, hi: np.ndarray, op) -> np.ndarray:
+    """Query [lo, hi] inclusive; empty (hi<lo) → NaN."""
+    out = np.full(len(lo), np.nan)
+    n = hi - lo + 1
+    ok = n > 0
+    if not ok.any():
+        return out
+    k = np.zeros(len(lo), dtype=np.int64)
+    k[ok] = np.floor(np.log2(n[ok])).astype(np.int64)
+    for kk in np.unique(k[ok]):
+        m = ok & (k == kk)
+        t = tabs[kk]
+        a = t[lo[m]]
+        b = t[hi[m] - (1 << kk) + 1]
+        out[m] = op(a, b)
+    return out
+
+
+def _fmt_num(v) -> str:
+    if v is None:
+        return "null"
+    f = float(v)
+    if f == int(f) and abs(f) < 1e15:
+        return str(int(f))
+    return format(f, "g")
+
+
+def _make_kernel(spec: WindowSpecFE, aggs: list[Agg], out_cols: list[str],
+                 passthrough: list[str], dtypes: dict[str, str]):
+    """Build the applyInPandas kernel. Everything the kernel needs is
+    captured by value (plain python objects) — no Spark objects."""
+    frame = spec.frame
+    start, end = int(spec.start), int(spec.end)
+    open_start = spec.open_start
+    maxsize = spec.maxsize
+    ex_time = spec.exclude_current_time
+    ex_row = spec.exclude_current_row
+    inst_not = spec.instance_not_in_window
+    peer_sql = spec.peer == "sql"
+    has_union = inst_not  # mask to union rows only when instance_not_in_window
+    tiebreak = list(spec.tiebreak)
+    agg_specs = [(a.name, a.fn, a.col, a.cond, a.n, a.cate) for a in aggs]
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([_ORD, _SIDE] + tiebreak,
+                              kind="mergesort").reset_index(drop=True)
+        m = len(pdf)
+        ts = pdf[_ORD].to_numpy(np.int64)
+        side = pdf[_SIDE].to_numpy(np.int64)
+        emit = pdf[_EMIT].to_numpy(np.int64) == 1
+        idx = np.arange(m)
+
+        # ---- base frame bounds [lo, hi] (inclusive, indices into sorted grp)
+        if frame == "rows":
+            lo = idx - start + (1 if open_start else 0)
+            hi = idx - end
+        else:
+            q_lo = ts - start
+            lo = np.searchsorted(ts, q_lo, side="right" if open_start else "left")
+            hi = np.searchsorted(ts, ts - end, side="right") - 1
+        np.clip(lo, 0, m, out=lo)
+        if end == 0 and not peer_sql:
+            hi = np.minimum(hi, idx)          # stream peers: only seen rows
+        hi = np.minimum(hi, m - 1)
+
+        self_in_base = (end == 0) & (hi >= idx) if frame == "range" else (end == 0)
+        # frame decomposition: contiguous [lo, chi] + optional self row
+        if ex_time and end == 0:
+            first_peer = np.searchsorted(ts, ts, side="left")
+            chi = np.minimum(hi, first_peer - 1)
+            self_in = not ex_row
+        elif ex_row and end == 0:
+            chi = np.minimum(hi, idx - 1)
+            self_in = False
+        else:
+            chi = hi.copy()
+            self_in = False  # self is inside [lo, chi] when end==0
+        # when self is carved out separately, remove it from contiguous part
+        sep_self = (ex_time or ex_row) and end == 0
+
+        mask = (side == 0) if has_union else np.ones(m, dtype=bool)
+        if has_union:
+            # contiguous part counts only union rows; self handled separately
+            if not sep_self:
+                # carve self out anyway so primary self can be added back
+                chi = np.minimum(chi, idx - 1) if not peer_sql else chi
+                sep_self2 = True
+                self_in2 = (end == 0) and not ex_row
+            else:
+                sep_self2, self_in2 = True, self_in
+        else:
+            sep_self2 = sep_self
+            self_in2 = self_in if sep_self else False
+
+        cmask = mask.astype(np.int64)
+        cum = np.concatenate([[0], np.cumsum(cmask)])  # masked row counts
+
+        # ---- maxsize: keep the newest k frame rows (self counts toward k)
+        if maxsize is not None:
+            budget = maxsize - (1 if (sep_self2 and self_in2) else 0)
+            budget = max(budget, 0)
+            # smallest j with masked_count(j..chi) <= budget
+            target = cum[np.maximum(chi + 1, 0)] - budget
+            lo = np.maximum(lo, np.searchsorted(cum, target, side="left"))
+
+        empty = chi < lo
+
+        # ---- prefix structures per referenced column
+        cols_needed = {c for (_, fn, c, _, _, _) in agg_specs if c} | \
+                      {ct for (_, _, _, _, _, ct) in agg_specs if ct}
+        arr: dict[str, np.ndarray] = {}
+        for c in cols_needed:
+            arr[c] = pdf[c].to_numpy()
+
+        conds = {cd for (_, _, _, cd, _, _) in agg_specs if cd}
+        cond_mask: dict[str, np.ndarray] = {}
+        for cd in conds:
+            cond_mask[cd] = pdf.eval(cd).to_numpy(bool)
+
+        def prefix_sum(vals, extra=None):
+            v = pd.to_numeric(pd.Series(vals), errors="coerce").to_numpy(np.float64)
+            okn = ~np.isnan(v)               # self-eligibility (no side mask)
+            if extra is not None:
+                okn = okn & extra
+            ok = okn & mask                  # buffer visibility
+            s = np.where(ok, v, 0.0)
+            return (np.concatenate([[0.0], np.cumsum(s)]),
+                    np.concatenate([[0], np.cumsum(ok.astype(np.int64))]), v, okn)
+
+        def rng_sum(ps, lo_, hi_):
+            return ps[np.maximum(hi_ + 1, 0)] - ps[np.minimum(lo_, len(ps) - 1)]
+
+        out: dict[str, np.ndarray | list] = {}
+        self_add = sep_self2 and self_in2
+
+        for (name, fn, col, cond, nn, cate) in agg_specs:
+            extra = cond_mask.get(cond) if cond else None
+            if fn == "lag":
+                v = pdf[col].shift(nn or 1)
+                out[name] = v.to_numpy()
+                continue
+            if fn == "first_value":
+                # newest frame row: self when included, else the row at chi
+                v = np.asarray(arr[col], dtype=object)
+                if self_add:
+                    out[name] = v
+                else:
+                    res = np.where(~empty, v[np.clip(chi, 0, m - 1)], None)
+                    out[name] = np.asarray(res, dtype=object)
+                continue
+            if fn in ("count", "count_where"):
+                ps, pc, v, ok = (None, None, None, None)
+                if col in (None, "*"):
+                    okn = np.ones(m, dtype=bool) if extra is None else extra.copy()
+                    okm = okn & mask
+                    pc = np.concatenate([[0], np.cumsum(okm.astype(np.int64))])
+                    selfok = okn
+                else:
+                    _, pc, v, ok = prefix_sum(arr[col], extra)
+                    selfok = ok
+                res = rng_sum(pc, lo, chi).astype(np.int64)
+                res[empty] = 0
+                if self_add:
+                    res = res + selfok.astype(np.int64)
+                out[name] = res
+                continue
+            if fn in ("sum", "sum_where", "avg", "avg_where"):
+                ps, pc, v, ok = prefix_sum(arr[col], extra)
+                s = rng_sum(ps, lo, chi)
+                c_ = rng_sum(pc, lo, chi).astype(np.float64)
+                s[empty] = 0.0
+                c_[empty] = 0.0
+                if self_add:
+                    s = s + np.where(ok, v, 0.0)
+                    c_ = c_ + np.where(ok, 1.0, 0.0)
+                if fn.startswith("sum"):
+                    res = np.where(c_ > 0, s, np.nan)
+                else:
+                    with np.errstate(invalid="ignore", divide="ignore"):
+                        res = np.where(c_ > 0, s / c_, np.nan)
+                out[name] = res
+                continue
+            if fn in ("min", "max", "min_where", "max_where"):
+                v = pd.to_numeric(pd.Series(arr[col]), errors="coerce") \
+                      .to_numpy(np.float64)
+                okn = ~np.isnan(v)
+                if extra is not None:
+                    okn = okn & extra
+                ok = okn & mask
+                vv = np.where(ok, v, np.nan)
+                op = np.fmin if fn.startswith("min") else np.fmax
+                tabs = _sparse_table(vv, op)
+                res = _range_q(tabs, lo, np.where(empty, lo - 1, chi), op)
+                if self_add:
+                    res = op(res, np.where(okn, v, np.nan))
+                out[name] = res
+                continue
+            # multiset family: per-row over the frame slice (bounded windows)
+            vals = arr[col] if col else None
+            cvals = arr[cate] if cate else None
+            res_l: list = []
+            vobj = pd.Series(vals) if vals is not None else None
+            notna = vobj.notna().to_numpy() if vobj is not None else None
+            for i in range(m):
+                if not emit[i]:
+                    res_l.append(None)
+                    continue
+                sl = np.arange(lo[i], chi[i] + 1) if chi[i] >= lo[i] \
+                    else np.empty(0, dtype=np.int64)
+                if has_union:
+                    sl = sl[mask[sl]]
+                if self_add:
+                    sl = np.append(sl, i)
+                if vals is not None:
+                    sl = sl[notna[sl]]
+                res_l.append(_multiset_agg(fn, vals, cvals, sl, nn))
+            out[name] = res_l
+
+        res_pdf = pdf.loc[emit, passthrough].reset_index(drop=True)
+        for (name, fn, col, cond, nn, cate) in agg_specs:
+            v = out[name]
+            v = np.asarray(v, dtype=object) if isinstance(v, list) else v
+            vv = v[emit]
+            want = dtypes[name]
+            if want in ("bigint", "int", "smallint"):
+                res_pdf[name] = pd.Series(vv, dtype="Float64").astype("Int64")
+            elif want in ("double", "float"):
+                res_pdf[name] = pd.to_numeric(pd.Series(vv), errors="coerce")
+            else:
+                res_pdf[name] = pd.Series(vv, dtype=object)
+        return res_pdf
+
+    return kernel
+
+
+def _multiset_agg(fn: str, vals, cvals, sl: np.ndarray, nn: int | None):
+    if fn == "distinct_count":
+        return int(len(set(vals[j] for j in sl)))
+    if fn == "top":
+        xs = sorted((vals[j] for j in sl), reverse=True)[: (nn or 1)]
+        return ",".join(_fmt_num(x) if isinstance(x, (int, float)) else str(x)
+                        for x in xs)
+    if fn in ("topn_frequency", "top1_ratio"):
+        from collections import Counter
+        cnt = Counter(str(vals[j]) for j in sl)
+        if fn == "top1_ratio":
+            total = sum(cnt.values())
+            return (max(cnt.values()) / total) if total else None
+        ordered = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+        return ",".join(k for k, _ in ordered[: (nn or 1)])
+    if fn in ("count_cate", "sum_cate", "avg_cate", "min_cate", "max_cate"):
+        acc: dict[str, list] = {}
+        for j in sl:
+            k = cvals[j]
+            if k is None or (isinstance(k, float) and np.isnan(k)):
+                continue
+            acc.setdefault(str(k), []).append(vals[j])
+        parts = []
+        for k in sorted(acc):
+            xs = acc[k]
+            if fn == "count_cate":
+                v = len(xs)
+            elif fn == "sum_cate":
+                v = sum(xs)
+            elif fn == "avg_cate":
+                v = sum(xs) / len(xs)
+            elif fn == "min_cate":
+                v = min(xs)
+            else:
+                v = max(xs)
+            parts.append(f"{k}:{_fmt_num(v)}")
+        return ",".join(parts) if parts else None
+    raise ValueError(fn)
+
+
+# ---------------------------------------------------------------------------
+# public API
+
+
+def window_agg(df: DataFrame, spec: WindowSpecFE, aggs: Sequence[Agg],
+               skew: SkewConfig | None = None) -> DataFrame:
+    """Compute ``aggs`` over ``spec`` for every row of ``df`` (plus union
+    tables' rows as frame-only contents). Returns df columns + agg columns.
+    """
+    aggs = list(aggs)
+    keys = list(spec.partition_by)
+    for a in aggs:
+        if a.fn not in _ALL_FNS:
+            raise ValueError(
+                f"unknown aggregate fn {a.fn!r} (agg {a.name!r}); "
+                f"supported: {sorted(_ALL_FNS)}")
+        if a.fn not in ("count",) and not a.col:
+            raise ValueError(f"agg {a.name!r} ({a.fn}) requires col=")
+    # reference drops NULL order keys (WindowAggPlan.scala:784-791)
+    df = df.filter(F.col(spec.order_by).isNotNull())
+
+    use_kernel = spec.needs_kernel() or skew is not None \
+        or any(a.fn not in _NATIVE_FNS for a in aggs)
+
+    if not use_kernel and not spec.union_dfs:
+        return _native(df, spec, aggs)
+    if not use_kernel and spec.union_dfs:
+        return _native_union(df, spec, aggs)
+    return _kernel_exec(df, spec, aggs, skew)
+
+
+def _spark_window(df: DataFrame, spec: WindowSpecFE):
+    ordc = _ord_ms(df, spec.order_by)
+    d = df.withColumn(_ORD, ordc)
+    if spec.frame == "rows":
+        w = (Window.partitionBy(*spec.partition_by)
+             .orderBy(F.col(_ORD).asc(), *[F.col(c).asc() for c in spec.tiebreak])
+             .rowsBetween(-(spec.start - (1 if spec.open_start else 0)),
+                          -spec.end))
+    else:
+        start = spec.start - (1 if spec.open_start else 0)
+        w = (Window.partitionBy(*spec.partition_by)
+             .orderBy(F.col(_ORD).asc())
+             .rangeBetween(-start, -spec.end))
+    w_unb = (Window.partitionBy(*spec.partition_by)
+             .orderBy(F.col(_ORD).asc(), *[F.col(c).asc() for c in spec.tiebreak]))
+    return d, w, w_unb
+
+
+def _native(df: DataFrame, spec: WindowSpecFE, aggs: list[Agg]) -> DataFrame:
+    d, w, w_unb = _spark_window(df, spec)
+    cols = [F.col(c) for c in df.columns]
+    cols += [_native_expr(a, w, w_unb).alias(a.name) for a in aggs]
+    return d.select(*cols)
+
+
+def _native_union(df: DataFrame, spec: WindowSpecFE,
+                  aggs: list[Agg]) -> DataFrame:
+    prim = df.withColumn(_SIDE, F.lit(1))
+    parts = [prim]
+    for u in spec.union_dfs:
+        parts.append(u.filter(F.col(spec.order_by).isNotNull())
+                      .select(*df.columns).withColumn(_SIDE, F.lit(0)))
+    allr = parts[0]
+    for p in parts[1:]:
+        allr = allr.unionByName(p)
+    spec2 = WindowSpecFE(**{**spec.__dict__, "union_dfs": (),
+                            "tiebreak": [_SIDE] + list(spec.tiebreak)})
+    # primary sorts after union at equal ts → _SIDE ascending tiebreak works
+    # only for ROWS frames; RANGE frames include all ts peers under sql
+    # semantics anyway.
+    res = _native(allr, spec2, aggs)
+    return res.filter(F.col(_SIDE) == 1).drop(_SIDE)
+
+
+def _kernel_exec(df: DataFrame, spec: WindowSpecFE, aggs: list[Agg],
+                 skew: SkewConfig | None) -> DataFrame:
+    keys = list(spec.partition_by)
+    prim = (df.withColumn(_ORD, _ord_ms(df, spec.order_by))
+              .withColumn(_SIDE, F.lit(1)))
+    parts = [prim]
+    for u in spec.union_dfs:
+        parts.append(u.filter(F.col(spec.order_by).isNotNull())
+                      .select(*df.columns)
+                      .withColumn(_ORD, _ord_ms(u, spec.order_by))
+                      .withColumn(_SIDE, F.lit(0)))
+    allr = parts[0]
+    for p in parts[1:]:
+        allr = allr.unionByName(p)
+    allr = allr.withColumn(_EMIT, F.col(_SIDE))
+
+    group_keys = list(keys)
+    if skew is not None:
+        allr = _salt(allr, keys, skew)
+        group_keys = keys + [_PART]
+
+    passthrough = [c for c in df.columns]
+    in_schema = df.schema
+    dtypes = {}
+    out_fields = [in_schema[c] for c in passthrough]
+    for a in aggs:
+        t = _agg_out_type(a, in_schema)
+        dtypes[a.name] = t.simpleString()
+        out_fields.append(T.StructField(a.name, t, True))
+    out_schema = T.StructType(out_fields)
+
+    kernel = _make_kernel(spec, aggs, [a.name for a in aggs], passthrough,
+                          dtypes)
+    sel_cols = list(dict.fromkeys(
+        passthrough + [_ORD, _SIDE, _EMIT] + group_keys +
+        [c for c in spec.tiebreak]))
+    res = (allr.select(*sel_cols)
+               .groupBy(*group_keys)
+               .applyInPandas(kernel, schema=out_schema))
+    return res
+
+
+def _salt(allr: DataFrame, keys: list[str], skew: SkewConfig) -> DataFrame:
+    """Two-level salting with history replication
+    (reference SkewDataFrameUtils.scala:26-143).
+
+    Hot keys (≥ min_rows) are split into ``parts`` time-ranges by
+    percentile of the order key; each row is tagged with its part and
+    additionally *replicated* (emit-suppressed) into every later part of
+    the same key so each part holds its full history prefix.
+    """
+    n = skew.parts
+    qs = [i / n for i in range(1, n)]
+    dist = (allr.groupBy(*keys)
+            .agg(F.count(F.lit(1)).alias("__cnt"),
+                 F.percentile_approx(F.col(_ORD), qs, 10000).alias("__qs"))
+            .filter(F.col("__cnt") >= skew.min_rows)
+            .select(*keys, "__qs"))
+    tagged = allr.join(F.broadcast(dist), on=keys, how="left")
+    part = F.when(F.col("__qs").isNull(), F.lit(0)).otherwise(
+        F.aggregate("__qs", F.lit(0),
+                    lambda acc, q: acc + F.when(F.col(_ORD) > q, 1).otherwise(0)))
+    tagged = tagged.withColumn(_PART, part).drop("__qs")
+    # replicate into later parts with emit suppressed
+    reps = F.when(F.col(_PART) < n - 1,
+                  F.sequence(F.col(_PART) + 1, F.lit(n - 1))
+                  ).otherwise(F.array().cast("array<int>"))
+    hot = tagged.join(F.broadcast(dist.select(*keys)), on=keys, how="left_semi")
+    replicas = (hot.withColumn("__rep", F.explode(reps))
+                   .withColumn(_PART, F.col("__rep")).drop("__rep")
+                   .withColumn(_EMIT, F.lit(0)))
+    return tagged.unionByName(replicas)
