@@ -1,38 +1,802 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()[name]`` is a (spark, sf_dir) -> DataFrame callable built
+on the ``openmldb_spark`` engine; ``oracle_sql()[name]`` is the equivalent
+ANSI SQL for DuckDB over the same parquet tables. Column names/aliases
+match pairwise; timestamps are returned as epoch-ms bigints and float
+aggregates are rounded to 4 decimals on BOTH sides so value-hashes align.
+
+Operator coverage ↔ SURVEY.md §2 (reference file:line cites live in the
+openmldb_spark module docstrings).
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from openmldb_spark import (
+    Agg, WindowSpecFE, ffill, last_join, sessionize, window_agg,
+)
+from openmldb_spark.functions import aggregates as A
+from openmldb_spark.pipeline import (
+    brute_force_topk, exact_dedup, lsh_bucketed_topk, minhash_lsh_pairs,
+    simhash,
+)
+from openmldb_spark.pipeline.text import (
+    char_class_counts, token_count,
+)
+
+SF_DEFAULT = "/root/testdata/sf0.001"
+
+_STOPWORDS = ["the", "a", "an", "and", "or", "of", "to", "in", "is",
+              "it", "that", "for", "on", "with", "as"]
+_SW_SQL = "[" + ", ".join(f"'{w}'" for w in _STOPWORDS) + "]"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _r4(c) -> F.Column:
+    """Round to 4dp after a +1e-6 bias. Exact-decimal data (money-like
+    2dp doubles) lands averages/sums exactly on .xxxx5 boundaries where
+    Spark (HALF_UP) and DuckDB disagree; the bias pushes both engines to
+    the same side. The oracle SQL applies the identical bias."""
+    c = F.col(c) if isinstance(c, str) else c
+    return F.round(c + F.lit(1e-6), 4)
+
+
+def _r2(c) -> F.Column:
+    """2dp bias-rounding for sums of many values (accumulated float error
+    across differing summation orders can reach ~1e-5 at sf0.1; 2dp keeps
+    the comparison robust)."""
+    c = F.col(c) if isinstance(c, str) else c
+    return F.round(c + F.lit(1e-6), 2)
+
+
+def _ms(c: str = "ts") -> F.Column:
+    # testdata timestamps are TIMESTAMP_NTZ; session TZ is pinned UTC so
+    # the cast is instant-preserving (SURVEY.md §1.2: int64 ms everywhere)
+    return F.unix_millis(F.col(c).cast("timestamp"))
+
+
+# ---------------------------------------------------------------------------
+# flagship
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: leakage-free per-event feature vector on sf0.001 —
+    rolling 1h window aggs + lag + as-of LAST JOIN of the latest prior
+    purchase + gap sessionization (the north-star operator combo)."""
+    ev = _t(spark, SF_DEFAULT, "events")
+    sess = sessionize(ev, "user_id", "ts", gap_ms=30 * 60 * 1000,
+                      tiebreak=("event_id",))
+    spec = WindowSpecFE(partition_by=["user_id"], order_by="ts",
+                        frame="range", start=3_600_000, end=0, peer="sql")
+    feat = window_agg(sess, spec, [
+        Agg("cnt_1h", "count", "value"),
+        Agg("sum_1h", "sum", "value"),
+        Agg("avg_1h", "avg", "value"),
+        Agg("n_err_1h", "count_where", "value", cond="event_type = 'error'"),
+        Agg("prev_value", "lag", "value", n=1),
+    ])
+    purchases = ev.filter(F.col("event_type") == "purchase") \
+                  .select("user_id", "ts", "event_id", "value")
+    out = last_join(feat, purchases, on="user_id", order_by="ts",
+                    left_ts="ts", right_ts="ts", tiebreak="event_id")
+    return out.select(
+        "event_id", "user_id", _ms("ts").alias("ts_ms"), "session_id",
+        "cnt_1h", _r4("sum_1h").alias("sum_1h"),
+        _r4("avg_1h").alias("avg_1h"), "n_err_1h", "prev_value",
+        F.col("value_r").alias("last_purchase_value"))
+
+
+# ---------------------------------------------------------------------------
+# group aggregation
+
+
+def q_pricing_summary(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.filter(F.col("l_shipdate") <= "1998-09-02")
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(_r2(F.sum("l_quantity")).alias("sum_qty"),
+                 _r2(F.sum("l_extendedprice")).alias("sum_base_price"),
+                 _r2(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))))
+                 .alias("sum_disc_price"),
+                 _r4(F.avg("l_quantity")).alias("avg_qty"),
+                 _r4(F.avg("l_extendedprice")).alias("avg_price"),
+                 F.count(F.lit(1)).alias("count_order")))
+
+
+def q_group_aggregates(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (ev.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("cnt"),
+                 A.distinct_count("user_id").alias("dc_users"),
+                 _r4(A.sum_where("value", "value > 50"))
+                 .alias("sum_hi"),
+                 A.count_where("value", "value > 50").alias("cnt_hi"),
+                 _r4(A.avg_where("value", "value > 50"))
+                 .alias("avg_hi"),
+                 _r4(A.min_where("value", "value > 50"))
+                 .alias("min_hi"),
+                 _r4(A.max_where("value", "value > 50"))
+                 .alias("max_hi"),
+                 _r4(F.percentile(F.col("value"), F.lit(0.5)))
+                 .alias("median_v")))
+
+
+def q_topn_frequency(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return A.topn_frequency_agg(ev, ["user_id"], "event_type", 2,
+                                out_col="top2_types")
+
+
+def q_top1_ratio(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    out = A.top1_ratio_agg(ev, ["user_id"], "event_type")
+    return out.select("user_id", _r4("top1_ratio").alias("top1_ratio"))
+
+
+def q_count_cate(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return A.cate_agg(ev, ["user_id"], None, "event_type", "count",
+                      out_col="cnt_cate")
+
+
+def q_sum_cate(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events") \
+        .withColumn("v_int", F.floor("value").cast("long"))
+    return A.cate_agg(ev, ["user_id"], "v_int", "event_type", "sum",
+                      out_col="sum_cate")
+
+
+# ---------------------------------------------------------------------------
+# window frames (the core operator family)
+
+
+def _win_events(spark, sf_dir):
+    return _t(spark, sf_dir, "events")
+
+
+def q_window_rows(spark, sf_dir):
+    spec = WindowSpecFE(["user_id"], "ts", frame="rows", start=3, end=0,
+                        tiebreak=("event_id",))
+    out = window_agg(_win_events(spark, sf_dir), spec, [
+        Agg("cnt_w", "count", "value"), Agg("sum_w", "sum", "value"),
+        Agg("avg_w", "avg", "value"), Agg("min_w", "min", "value"),
+        Agg("max_w", "max", "value")])
+    return out.select("event_id", "user_id", _ms().alias("ts_ms"), "cnt_w",
+                      _r4("sum_w").alias("sum_w"),
+                      _r4("avg_w").alias("avg_w"), "min_w", "max_w")
+
+
+def q_window_range(spark, sf_dir):
+    spec = WindowSpecFE(["user_id"], "ts", frame="range", start=3_600_000,
+                        end=0, peer="sql")
+    out = window_agg(_win_events(spark, sf_dir), spec, [
+        Agg("cnt_1h", "count", "value"), Agg("sum_1h", "sum", "value"),
+        Agg("max_1h", "max", "value")])
+    return out.select("event_id", "user_id", _ms().alias("ts_ms"), "cnt_1h",
+                      _r4("sum_1h").alias("sum_1h"), "max_1h")
+
+
+def q_window_rows_between(spark, sf_dir):
+    spec = WindowSpecFE(["user_id"], "ts", frame="rows", start=5, end=2,
+                        tiebreak=("event_id",))
+    out = window_agg(_win_events(spark, sf_dir), spec, [
+        Agg("cnt_w", "count", "value"), Agg("sum_w", "sum", "value")])
+    return out.select("event_id", "user_id", "cnt_w",
+                      _r4("sum_w").alias("sum_w"))
+
+
+def q_window_open_range(spark, sf_dir):
+    spec = WindowSpecFE(["user_id"], "ts", frame="range", start=3_600_000,
+                        end=0, open_start=True, peer="sql")
+    out = window_agg(_win_events(spark, sf_dir), spec, [
+        Agg("cnt_w", "count", "value"), Agg("sum_w", "sum", "value")])
+    return out.select("event_id", "user_id", "cnt_w",
+                      _r4("sum_w").alias("sum_w"))
+
+
+def q_window_maxsize(spark, sf_dir):
+    spec = WindowSpecFE(["user_id"], "ts", frame="range", start=3_600_000,
+                        end=0, maxsize=5, tiebreak=("event_id",))
+    out = window_agg(_win_events(spark, sf_dir), spec, [
+        Agg("cnt_w", "count", "value"), Agg("sum_w", "sum", "value")])
+    return out.select("event_id", "user_id", "cnt_w",
+                      _r4("sum_w").alias("sum_w"))
+
+
+def q_window_exclude_current_row(spark, sf_dir):
+    spec = WindowSpecFE(["user_id"], "ts", frame="range", start=3_600_000,
+                        end=0, exclude_current_row=True,
+                        tiebreak=("event_id",))
+    out = window_agg(_win_events(spark, sf_dir), spec, [
+        Agg("cnt_w", "count", "value"), Agg("sum_w", "sum", "value")])
+    return out.select("event_id", "user_id", "cnt_w",
+                      _r4("sum_w").alias("sum_w"))
+
+
+def q_window_exclude_current_time(spark, sf_dir):
+    spec = WindowSpecFE(["user_id"], "ts", frame="range", start=3_600_000,
+                        end=0, exclude_current_time=True,
+                        tiebreak=("event_id",))
+    out = window_agg(_win_events(spark, sf_dir), spec, [
+        Agg("cnt_w", "count", "value"), Agg("sum_w", "sum", "value")])
+    return out.select("event_id", "user_id", "cnt_w",
+                      _r4("sum_w").alias("sum_w"))
+
+
+def q_window_union(spark, sf_dir):
+    ev = _win_events(spark, sf_dir)
+    prim = ev.filter(F.col("event_type") == "purchase")
+    rest = ev.filter(F.col("event_type") != "purchase")
+    spec = WindowSpecFE(["user_id"], "ts", frame="range", start=3_600_000,
+                        end=0, union_dfs=[rest], peer="sql")
+    out = window_agg(prim, spec, [
+        Agg("cnt_all_1h", "count", "value"),
+        Agg("sum_all_1h", "sum", "value")])
+    return out.select("event_id", "user_id", "cnt_all_1h",
+                      _r4("sum_all_1h").alias("sum_all_1h"))
+
+
+def q_instance_not_in_window(spark, sf_dir):
+    ev = _win_events(spark, sf_dir)
+    prim = ev.filter(F.col("event_type") == "purchase")
+    rest = ev.filter(F.col("event_type") != "purchase")
+    spec = WindowSpecFE(["user_id"], "ts", frame="range", start=3_600_000,
+                        end=0, union_dfs=[rest], instance_not_in_window=True,
+                        tiebreak=("event_id",))
+    out = window_agg(prim, spec, [Agg("cnt_inw", "count", "value")])
+    return out.select("event_id", "user_id", "cnt_inw")
+
+
+# ---------------------------------------------------------------------------
+# joins
+
+
+def q_last_join_asof(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase") \
+                  .select("user_id", "ts", "event_id", "value")
+    out = last_join(ev, purchases, on="user_id", order_by="ts",
+                    left_ts="ts", right_ts="ts", tiebreak="event_id")
+    return out.select("event_id", "user_id", _ms().alias("ts_ms"),
+                      F.col("value_r").alias("last_purchase_value"),
+                      _ms("ts_r").alias("last_purchase_ts_ms"))
+
+
+def q_last_join_broadcast(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders") \
+        .withColumnRenamed("o_custkey", "c_custkey")
+    out = last_join(cust, orders, on="c_custkey", order_by="o_orderdate",
+                    strategy="broadcast", tiebreak="o_orderkey")
+    return out.select("c_custkey", "c_name",
+                      _r4("o_totalprice").alias("last_total"),
+                      _ms("o_orderdate").alias("last_date_ms"))
+
+
+def q_left_join(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    out = (orders.join(F.broadcast(cust),
+                       orders.o_custkey == cust.c_custkey, "left")
+           .join(F.broadcast(nation),
+                 cust.c_nationkey == nation.n_nationkey, "left"))
+    return out.select("o_orderkey", "o_custkey", "c_name",
+                      F.col("n_name").alias("nation_name"))
+
+
+def q_join_agg_revenue(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    rev = (li.join(orders, li.l_orderkey == orders.o_orderkey)
+           .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+           .join(F.broadcast(nation),
+                 cust.c_nationkey == nation.n_nationkey)
+           .groupBy("n_name")
+           .agg(_r2(F.sum(F.col("l_extendedprice")
+                              * (1 - F.col("l_discount"))))
+                .alias("revenue"),
+                F.count(F.lit(1)).alias("n_items")))
+    return rev
+
+
+# ---------------------------------------------------------------------------
+# temporal derived features
+
+
+def q_sessionize(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    out = sessionize(ev, "user_id", "ts", gap_ms=30 * 60 * 1000,
+                     tiebreak=("event_id",))
+    return out.select("event_id", "user_id", _ms().alias("ts_ms"),
+                      "session_id")
+
+
+def q_backfill(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "pv", F.when(F.col("event_type") == "purchase", F.col("value")))
+    out = ffill(ev, "pv", "user_id", "ts", tiebreak=("event_id",))
+    return out.select("event_id", "user_id",
+                      _r4("pv").alias("ffill_purchase_value"))
+
+
+def q_lag(spark, sf_dir):
+    spec = WindowSpecFE(["user_id"], "ts", frame="rows", start=0, end=0,
+                        tiebreak=("event_id",))
+    out = window_agg(_win_events(spark, sf_dir), spec, [
+        Agg("lag1", "lag", "value", n=1),
+        Agg("lag3", "lag", "value", n=3),
+        Agg("prev_type", "lag", "event_type", n=1)])
+    return out.select("event_id", "user_id",
+                      _r4("lag1").alias("lag1"),
+                      _r4("lag3").alias("lag3"), "prev_type")
+
+
+# ---------------------------------------------------------------------------
+# scalar surface
+
+
+def q_scalar_functions(spark, sf_dir):
+    from openmldb_spark.functions import scalar as S
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.year("ts").alias("y"), F.month("ts").alias("mo"),
+        F.dayofmonth("ts").alias("d"), F.hour("ts").alias("h"),
+        S.dayofweek("ts").alias("dow"), F.weekofyear("ts").alias("woy"),
+        F.date_format("ts", "yyyy-MM-dd").alias("date_str"),
+        F.upper("event_type").alias("etype_u"),
+        F.reverse("event_type").alias("etype_rev"),
+        F.substring("props", 3, 4).alias("props_sub"),
+        S.char_length("props").alias("props_len"),
+        F.concat_ws("-", "event_type", F.col("user_id").cast("string"))
+        .alias("type_user"),
+        _r4(F.abs(F.col("value") - 50)).alias("abs_dev"),
+        _r4(F.sqrt(F.abs("value"))).alias("sqrt_v"),
+        F.floor("value").cast("long").alias("floor_v"),
+        F.ceil("value").cast("long").alias("ceil_v"),
+        S.pmod("event_id", F.lit(7)).cast("long").alias("mod7"),
+        S.strcmp("event_type", F.lit("purchase")).alias("cmp_p"),
+        _r4(S.nvl2(F.when(F.col("event_type") == "error", F.col("value")),
+                     F.lit(-1.0), F.col("value"))).alias("nvl2_v"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# training-data pipeline: text / dedup / similarity
+
+
+def q_text_features(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    cc = char_class_counts(t)
+    toks = F.split(F.trim(t), r"\s+")
+    hits = F.size(F.filter(toks, lambda w: F.lower(w).isin(_STOPWORDS)))
+    return docs.select(
+        "doc_id",
+        F.length(t).cast("long").alias("n_chars_calc"),
+        token_count(t).alias("n_tokens"),
+        cc["n_alpha"].alias("n_alpha"),
+        cc["n_digit"].alias("n_digit"),
+        cc["n_space"].alias("n_space"),
+        F.size(F.filter(toks, lambda w: w == "the")).cast("long")
+        .alias("n_the"),
+        _r4(F.when(F.size(toks) > 0,
+                       hits.cast("double") / F.size(toks).cast("double"))
+                .otherwise(0.0)).alias("stopword_ratio"),
+    )
+
+
+def q_dedup_exact(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return exact_dedup(docs, "text", "doc_id")
+
+
+def q_embed_knn(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    out = brute_force_topk(emb, queries, k=5)
+    return out.select("query_id", "neighbor_id", "rank",
+                      _r4("cosine").alias("cosine"))
+
+
+def q_minhash_pairs(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    out = minhash_lsh_pairs(docs, num_hashes=64, bands=16, shingle=5,
+                            threshold=0.5)
+    return out.select("id_a", "id_b", _r4("est_jaccard")
+                      .alias("est_jaccard"))
+
+
+def q_simhash(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return simhash(docs, "text", "doc_id")
+
+
+def q_lsh_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    out = lsh_bucketed_topk(emb, queries, k=5, num_planes=4)
+    return out.select("query_id", "neighbor_id", "rank",
+                      _r4("cosine").alias("cosine"))
+
+
+def q_media_features(spark, sf_dir):
+    from openmldb_spark.pipeline.multimodal import extract_media_features
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("payload"))
+    return extract_media_features(docs, "doc_id", "payload", n_features=8)
+
+
+# ---------------------------------------------------------------------------
+# registry
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "pricing_summary": q_pricing_summary,
+        "group_aggregates": q_group_aggregates,
+        "topn_frequency": q_topn_frequency,
+        "top1_ratio": q_top1_ratio,
+        "count_cate": q_count_cate,
+        "sum_cate": q_sum_cate,
+        "window_rows": q_window_rows,
+        "window_range": q_window_range,
+        "window_rows_between": q_window_rows_between,
+        "window_open_range": q_window_open_range,
+        "window_maxsize": q_window_maxsize,
+        "window_exclude_current_row": q_window_exclude_current_row,
+        "window_exclude_current_time": q_window_exclude_current_time,
+        "window_union": q_window_union,
+        "instance_not_in_window": q_instance_not_in_window,
+        "last_join_asof": q_last_join_asof,
+        "last_join_broadcast": q_last_join_broadcast,
+        "left_join": q_left_join,
+        "join_agg_revenue": q_join_agg_revenue,
+        "sessionize": q_sessionize,
+        "backfill": q_backfill,
+        "lag": q_lag,
+        "scalar_functions": q_scalar_functions,
+        "text_features": q_text_features,
+        "dedup_exact": q_dedup_exact,
+        "embed_knn": q_embed_knn,
+        "minhash_pairs": q_minhash_pairs,
+        "simhash": q_simhash,
+        "lsh_topk": q_lsh_topk,
+        "media_features": q_media_features,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles.  Window/lateral conditions are written on epoch_ms(ts)
+# (bigint milliseconds) to match the engine's int64-ms order keys
+# (SURVEY.md §1.2); stream-peer frames use (ms, event_id) lexicographic
+# visibility, mirroring the kernel's sort order.
+
+_LATERAL_VIS = ("(epoch_ms(e2.ts) < epoch_ms(e.ts) OR "
+                "(epoch_ms(e2.ts) = epoch_ms(e.ts) AND e2.event_id <= e.event_id))")
+_LATERAL_VIS_STRICT = ("(epoch_ms(e2.ts) < epoch_ms(e.ts) OR "
+                       "(epoch_ms(e2.ts) = epoch_ms(e.ts) AND e2.event_id < e.event_id))")
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "pricing_summary": """
+SELECT l_returnflag, l_linestatus,
+       ROUND(sum(l_quantity) + 0.000001, 2) AS sum_qty,
+       ROUND(sum(l_extendedprice) + 0.000001, 2) AS sum_base_price,
+       ROUND(sum(l_extendedprice * (1 - l_discount)) + 0.000001, 2) AS sum_disc_price,
+       ROUND(avg(l_quantity) + 0.000001, 4) AS avg_qty,
+       ROUND(avg(l_extendedprice) + 0.000001, 4) AS avg_price,
+       count(*) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+""",
+        "group_aggregates": """
+SELECT event_type,
+       count(*) AS cnt,
+       count(DISTINCT user_id) AS dc_users,
+       ROUND(sum(CASE WHEN value > 50 THEN value END) + 0.000001, 4) AS sum_hi,
+       count(CASE WHEN value > 50 THEN value END) AS cnt_hi,
+       ROUND(avg(CASE WHEN value > 50 THEN value END) + 0.000001, 4) AS avg_hi,
+       ROUND(min(CASE WHEN value > 50 THEN value END) + 0.000001, 4) AS min_hi,
+       ROUND(max(CASE WHEN value > 50 THEN value END) + 0.000001, 4) AS max_hi,
+       ROUND(quantile_cont(value, 0.5) + 0.000001, 4) AS median_v
+FROM events GROUP BY event_type
+""",
+        "topn_frequency": """
+SELECT user_id, string_agg(event_type, ',' ORDER BY rn) AS top2_types
+FROM (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY count(*) DESC, event_type) AS rn
+  FROM events GROUP BY user_id, event_type
+) WHERE rn <= 2 GROUP BY user_id
+""",
+        "top1_ratio": """
+SELECT user_id,
+       ROUND(CAST(max(cnt) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE) + 0.000001, 4)
+         AS top1_ratio
+FROM (SELECT user_id, event_type, count(*) AS cnt
+      FROM events GROUP BY user_id, event_type)
+GROUP BY user_id
+""",
+        "count_cate": """
+SELECT user_id,
+       string_agg(event_type || ':' || CAST(cnt AS VARCHAR), ','
+                  ORDER BY event_type) AS cnt_cate
+FROM (SELECT user_id, event_type, count(*) AS cnt
+      FROM events GROUP BY user_id, event_type)
+GROUP BY user_id
+""",
+        "sum_cate": """
+SELECT user_id,
+       string_agg(event_type || ':' || CAST(s AS VARCHAR), ','
+                  ORDER BY event_type) AS sum_cate
+FROM (SELECT user_id, event_type,
+             CAST(sum(CAST(floor(value) AS BIGINT)) AS BIGINT) AS s
+      FROM events GROUP BY user_id, event_type)
+GROUP BY user_id
+""",
+        "window_rows": """
+SELECT event_id, user_id, epoch_ms(ts) AS ts_ms,
+       count(value) OVER w AS cnt_w,
+       ROUND(sum(value) OVER w + 0.000001, 4) AS sum_w,
+       ROUND(avg(value) OVER w + 0.000001, 4) AS avg_w,
+       min(value) OVER w AS min_w,
+       max(value) OVER w AS max_w
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id
+             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+""",
+        "window_range": """
+SELECT event_id, user_id, epoch_ms(ts) AS ts_ms,
+       count(value) OVER w AS cnt_1h,
+       ROUND(sum(value) OVER w + 0.000001, 4) AS sum_1h,
+       max(value) OVER w AS max_1h
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts)
+             RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW)
+""",
+        "window_rows_between": """
+SELECT event_id, user_id,
+       count(value) OVER w AS cnt_w,
+       ROUND(sum(value) OVER w + 0.000001, 4) AS sum_w
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id
+             ROWS BETWEEN 5 PRECEDING AND 2 PRECEDING)
+""",
+        "window_open_range": """
+SELECT event_id, user_id,
+       count(value) OVER w AS cnt_w,
+       ROUND(sum(value) OVER w + 0.000001, 4) AS sum_w
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts)
+             RANGE BETWEEN 3599999 PRECEDING AND CURRENT ROW)
+""",
+        "window_maxsize": f"""
+SELECT e.event_id, e.user_id,
+       (SELECT count(v) FROM (
+          SELECT e2.value AS v FROM events e2
+          WHERE e2.user_id = e.user_id
+            AND epoch_ms(e2.ts) >= epoch_ms(e.ts) - 3600000
+            AND {_LATERAL_VIS}
+          ORDER BY epoch_ms(e2.ts) DESC, e2.event_id DESC LIMIT 5)) AS cnt_w,
+       (SELECT ROUND(sum(v) + 0.000001, 4) FROM (
+          SELECT e2.value AS v FROM events e2
+          WHERE e2.user_id = e.user_id
+            AND epoch_ms(e2.ts) >= epoch_ms(e.ts) - 3600000
+            AND {_LATERAL_VIS}
+          ORDER BY epoch_ms(e2.ts) DESC, e2.event_id DESC LIMIT 5)) AS sum_w
+FROM events e
+""",
+        "window_exclude_current_row": f"""
+SELECT e.event_id, e.user_id,
+       (SELECT count(e2.value) FROM events e2
+        WHERE e2.user_id = e.user_id
+          AND epoch_ms(e2.ts) >= epoch_ms(e.ts) - 3600000
+          AND {_LATERAL_VIS_STRICT}) AS cnt_w,
+       (SELECT ROUND(sum(e2.value) + 0.000001, 4) FROM events e2
+        WHERE e2.user_id = e.user_id
+          AND epoch_ms(e2.ts) >= epoch_ms(e.ts) - 3600000
+          AND {_LATERAL_VIS_STRICT}) AS sum_w
+FROM events e
+""",
+        "window_exclude_current_time": """
+SELECT e.event_id, e.user_id,
+       (SELECT count(e2.value) FROM events e2
+        WHERE e2.user_id = e.user_id
+          AND epoch_ms(e2.ts) >= epoch_ms(e.ts) - 3600000
+          AND (epoch_ms(e2.ts) < epoch_ms(e.ts)
+               OR e2.event_id = e.event_id)) AS cnt_w,
+       (SELECT ROUND(sum(e2.value) + 0.000001, 4) FROM events e2
+        WHERE e2.user_id = e.user_id
+          AND epoch_ms(e2.ts) >= epoch_ms(e.ts) - 3600000
+          AND (epoch_ms(e2.ts) < epoch_ms(e.ts)
+               OR e2.event_id = e.event_id)) AS sum_w
+FROM events e
+""",
+        "window_union": """
+SELECT event_id, user_id, cnt_all_1h, sum_all_1h FROM (
+  SELECT event_id, user_id, event_type,
+         count(value) OVER w AS cnt_all_1h,
+         ROUND(sum(value) OVER w + 0.000001, 4) AS sum_all_1h
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts)
+               RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW)
+) WHERE event_type = 'purchase'
+""",
+        "instance_not_in_window": """
+SELECT e.event_id, e.user_id,
+       CAST((SELECT count(e2.value) FROM events e2
+             WHERE e2.user_id = e.user_id
+               AND e2.event_type <> 'purchase'
+               AND epoch_ms(e2.ts) >= epoch_ms(e.ts) - 3600000
+               AND epoch_ms(e2.ts) <= epoch_ms(e.ts)) + 1 AS BIGINT)
+         AS cnt_inw
+FROM events e WHERE e.event_type = 'purchase'
+""",
+        "last_join_asof": """
+SELECT e.event_id, e.user_id, epoch_ms(e.ts) AS ts_ms,
+       (SELECT p.value FROM events p
+        WHERE p.event_type = 'purchase' AND p.user_id = e.user_id
+          AND epoch_ms(p.ts) <= epoch_ms(e.ts)
+        ORDER BY epoch_ms(p.ts) DESC, p.event_id DESC LIMIT 1)
+         AS last_purchase_value,
+       (SELECT epoch_ms(p.ts) FROM events p
+        WHERE p.event_type = 'purchase' AND p.user_id = e.user_id
+          AND epoch_ms(p.ts) <= epoch_ms(e.ts)
+        ORDER BY epoch_ms(p.ts) DESC, p.event_id DESC LIMIT 1)
+         AS last_purchase_ts_ms
+FROM events e
+""",
+        "last_join_broadcast": """
+SELECT c.c_custkey, c.c_name,
+       (SELECT ROUND(o.o_totalprice + 0.000001, 4) FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+        ORDER BY o.o_orderdate DESC, o.o_orderkey DESC LIMIT 1) AS last_total,
+       (SELECT epoch_ms(o.o_orderdate) FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+        ORDER BY o.o_orderdate DESC, o.o_orderkey DESC LIMIT 1) AS last_date_ms
+FROM customer c
+""",
+        "left_join": """
+SELECT o.o_orderkey, o.o_custkey, c.c_name, n.n_name AS nation_name
+FROM orders o
+LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+""",
+        "join_agg_revenue": """
+SELECT n.n_name,
+       ROUND(sum(l.l_extendedprice * (1 - l.l_discount)) + 0.000001, 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
+""",
+        "sessionize": """
+SELECT event_id, user_id, epoch_ms(ts) AS ts_ms,
+       CAST(sum(b) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id
+                         ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_id
+FROM (
+  SELECT event_id, user_id, ts,
+         CASE WHEN lag(epoch_ms(ts)) OVER w IS NULL
+              OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > 1800000
+              THEN 1 ELSE 0 END AS b
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id)
+)
+""",
+        "backfill": """
+SELECT event_id, user_id,
+       ROUND(last_value(pv IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY epoch_ms(ts), event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) + 0.000001, 4)
+         AS ffill_purchase_value
+FROM (SELECT event_id, user_id, ts,
+             CASE WHEN event_type = 'purchase' THEN value END AS pv
+      FROM events)
+""",
+        "lag": """
+SELECT event_id, user_id,
+       ROUND(lag(value, 1) OVER w + 0.000001, 4) AS lag1,
+       ROUND(lag(value, 3) OVER w + 0.000001, 4) AS lag3,
+       lag(event_type, 1) OVER w AS prev_type
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id)
+""",
+        "scalar_functions": """
+SELECT event_id,
+       CAST(year(ts) AS INT) AS y, CAST(month(ts) AS INT) AS mo,
+       CAST(day(ts) AS INT) AS d, CAST(hour(ts) AS INT) AS h,
+       CAST(dayofweek(ts) + 1 AS INT) AS dow,
+       CAST(weekofyear(ts) AS INT) AS woy,
+       strftime(ts, '%Y-%m-%d') AS date_str,
+       upper(event_type) AS etype_u,
+       reverse(event_type) AS etype_rev,
+       substr(props, 3, 4) AS props_sub,
+       CAST(length(props) AS INT) AS props_len,
+       event_type || '-' || CAST(user_id AS VARCHAR) AS type_user,
+       ROUND(abs(value - 50) + 0.000001, 4) AS abs_dev,
+       ROUND(sqrt(abs(value)) + 0.000001, 4) AS sqrt_v,
+       CAST(floor(value) AS BIGINT) AS floor_v,
+       CAST(ceil(value) AS BIGINT) AS ceil_v,
+       event_id % 7 AS mod7,
+       CAST(CASE WHEN event_type < 'purchase' THEN -1
+                 WHEN event_type > 'purchase' THEN 1 ELSE 0 END AS INT)
+         AS cmp_p,
+       ROUND(CASE WHEN event_type = 'error' THEN -1.0 ELSE value END + 0.000001, 4)
+         AS nvl2_v
+FROM events
+""",
+        "text_features": f"""
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars_calc,
+       CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END
+            AS BIGINT) AS n_tokens,
+       CAST(length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g'))
+            AS BIGINT) AS n_alpha,
+       CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+            AS BIGINT) AS n_digit,
+       CAST(length(text) - length(regexp_replace(text, '\\s', '', 'g'))
+            AS BIGINT) AS n_space,
+       CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                            x -> x = 'the')) AS BIGINT) AS n_the,
+       ROUND(CASE WHEN length(trim(text)) = 0 THEN 0.0 ELSE
+         CAST(len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                              x -> list_contains({_SW_SQL}, x))) AS DOUBLE)
+         / CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE)
+       END + 0.000001, 4) AS stopword_ratio
+FROM documents
+""",
+        "dedup_exact": """
+SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
+       count(*) AS dup_count
+FROM documents GROUP BY md5(text)
+""",
+        "embed_knn": """
+WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         list_sum(list_transform(generate_series(1, len(q.embedding)),
+           i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
+         / (sqrt(list_sum(list_transform(q.embedding,
+              v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
+            * sqrt(list_sum(list_transform(c.embedding,
+              v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))) AS cosine
+  FROM embeddings c, q WHERE c.vec_id <> q.vec_id
+)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank,
+       ROUND(cosine + 0.000001, 4) AS cosine
+FROM (SELECT query_id, neighbor_id, cosine,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM scored)
+WHERE rank <= 5
+""",
+        # minhash_pairs / simhash / lsh_topk / media_features rely on
+        # xxhash64 / sha256 — not reproducible in DuckDB → rows-only check.
+    }
+
+
+if __name__ == "__main__":
+    from openmldb_spark import get_spark
+
+    spark = get_spark("entry-smoke")
+    df = entry(spark)
+    df.show(10, truncate=False)
+    print("rows:", df.count())

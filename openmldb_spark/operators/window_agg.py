@@ -450,7 +450,11 @@ def _make_kernel(spec: WindowSpecFE, aggs: list[Agg], out_cols: list[str],
             if want in ("bigint", "int", "smallint"):
                 res_pdf[name] = pd.Series(vv, dtype="Float64").astype("Int64")
             elif want in ("double", "float"):
-                res_pdf[name] = pd.to_numeric(pd.Series(vv), errors="coerce")
+                # nullable Float64 so empty-frame NaN crosses Arrow as NULL
+                # (SQL semantics: SUM/AVG/MIN/MAX over empty frame = NULL)
+                res_pdf[name] = pd.array(
+                    pd.to_numeric(pd.Series(vv), errors="coerce"),
+                    dtype="Float64")
             else:
                 res_pdf[name] = pd.Series(vv, dtype=object)
         return res_pdf

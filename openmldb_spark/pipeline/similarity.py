@@ -1,0 +1,134 @@
+"""Similarity search over an embedding column (``array<float>``).
+
+- ``brute_force_topk`` — exact cosine top-k: broadcast the (small) query
+  set against the corpus, dot products as Catalyst ``zip_with`` +
+  ``aggregate`` (JVM, codegen'd), per-query top-k via window row_number.
+  The baseline; exact; scales linearly in corpus size with full
+  parallelism (corpus side is the partitioned side).
+- ``lsh_bucketed_topk`` — approximate: random-hyperplane signatures put
+  corpus and queries into Hamming buckets; candidates are drawn from the
+  query's bucket plus its 1-bit neighbor buckets (multi-probe), then
+  exact-scored. Turns the O(Q×N) scan into O(Q×N/2^planes × probes) —
+  the scale path for large Q.
+
+Norms are precomputed per row once; vectors are cast to double before the
+product so results are stable across platforms.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(
+        a, F.lit(0.0),
+        lambda acc, v: acc + v.cast("double") * v.cast("double")))
+
+
+def _cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int,
+                     vec_col: str = "embedding", id_col: str = "vec_id",
+                     exclude_self: bool = True) -> DataFrame:
+    """Exact cosine top-k: (query_id, neighbor_id, rank, cosine).
+
+    ``queries`` is broadcast (the small side); the corpus scan is the
+    partitioned side so the join is a broadcast nested loop with no
+    shuffle of the corpus. Ties broken by neighbor id ascending.
+    """
+    q = F.broadcast(queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qvec"),
+        _norm(F.col(vec_col)).alias("__qnorm")))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"),
+                      F.col(vec_col).alias("__cvec"),
+                      _norm(F.col(vec_col)).alias("__cnorm"))
+    joined = c.crossJoin(q)
+    if exclude_self:
+        joined = joined.filter(F.col("neighbor_id") != F.col("query_id"))
+    scored = joined.select(
+        "query_id", "neighbor_id",
+        (_dot(F.col("__qvec"), F.col("__cvec"))
+         / (F.col("__qnorm") * F.col("__cnorm"))).alias("cosine"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(),
+                                               F.col("neighbor_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "rank", "cosine"))
+
+
+def _hyperplane_bucket(vec: Column, num_planes: int, seed: int) -> Column:
+    """Deterministic random-hyperplane signature (int bucket id).
+
+    Plane coefficients come from xxhash64(seed, plane, dim-index) mapped
+    to [-1, 1) — identical on every executor, no RNG state.
+    """
+    def coeff(p: int):
+        # single-arg closure (PySpark HOF lambdas must not carry bound
+        # defaults — arity selects the (element, index) overload)
+        return lambda j: (
+            (F.xxhash64(F.concat_ws("_", F.lit(seed), F.lit(p),
+                                    j.cast("string")))
+             % 1000).cast("double") / 500.0 - 1.0)
+
+    bucket = F.lit(0)
+    for p in range(num_planes):
+        s = F.aggregate(
+            F.zip_with(
+                vec,
+                F.transform(F.sequence(F.lit(0), F.size(vec) - 1), coeff(p)),
+                lambda x, y: x.cast("double") * y),
+            F.lit(0.0), lambda acc, v: acc + v)
+        bucket = bucket + F.when(s > 0, F.lit(1 << p)).otherwise(F.lit(0))
+    return bucket
+
+
+def lsh_bucketed_topk(corpus: DataFrame, queries: DataFrame, k: int,
+                      vec_col: str = "embedding", id_col: str = "vec_id",
+                      num_planes: int = 4, multiprobe: bool = True,
+                      seed: int = 42,
+                      exclude_self: bool = True) -> DataFrame:
+    """Approximate cosine top-k via hyperplane LSH buckets.
+
+    Each query probes its own bucket and (optionally) every 1-bit-flip
+    neighbor bucket; candidates are exact-scored and ranked. Recall
+    improves with ``multiprobe`` and fewer planes; cost improves with
+    more planes.
+    """
+    b = _hyperplane_bucket(F.col(vec_col), num_planes, seed)
+    c = corpus.select(F.col(id_col).alias("neighbor_id"),
+                      F.col(vec_col).alias("__cvec"),
+                      _norm(F.col(vec_col)).alias("__cnorm"),
+                      b.alias("bucket"))
+    probes = [F.col("__qb")]
+    if multiprobe:
+        probes += [F.col("__qb").bitwiseXOR(F.lit(1 << p))
+                   for p in range(num_planes)]
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).alias("__qvec"),
+                       _norm(F.col(vec_col)).alias("__qnorm"),
+                       b.alias("__qb"))
+    q = q.select("query_id", "__qvec", "__qnorm",
+                 F.explode(F.array(*probes)).alias("bucket"))
+    joined = c.join(F.broadcast(q), "bucket")
+    if exclude_self:
+        joined = joined.filter(F.col("neighbor_id") != F.col("query_id"))
+    scored = joined.select(
+        "query_id", "neighbor_id",
+        (_dot(F.col("__qvec"), F.col("__cvec"))
+         / (F.col("__qnorm") * F.col("__cnorm"))).alias("cosine"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(),
+                                               F.col("neighbor_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "rank", "cosine"))
