@@ -1,0 +1,170 @@
+"""Checkpointed, resumable job layer.
+
+Modeled on the reference's intermediate-materialization debug path
+(``slowRunWithHDFSCache``, java/openmldb-batch/.../SparkPlanner.scala:291-327:
+materialize every plan node to ``<dir>/<node>/data`` and skip recompute when
+``data/_SUCCESS`` exists) promoted to a first-class contract:
+
+- a job is a DAG of named stages, each a function (spark, *dep_dfs) -> DataFrame;
+- each stage's output is written once to ``<root>/<job>/<stage>/data`` (parquet,
+  ``_SUCCESS``-gated by Spark's committer — a partially-written stage is never
+  trusted);
+- a ``manifest.json`` per stage records lineage (dep stage names + their
+  fingerprints), schema, row counts, per-output-partition metrics (rows/bytes
+  per file from parquet footers — metadata-only, no rescan), and wall time;
+- ``run(resume=True)`` skips any stage whose ``_SUCCESS`` exists AND whose
+  recorded fingerprint (stage name + dep fingerprints) is unchanged, so edits
+  upstream invalidate downstream;
+- downstream stages read the materialized parquet, not the in-memory lineage —
+  a resumed run is bit-identical to a fresh one (asserted in tests).
+
+At cluster scale this is the failure-domain boundary: a 10-stage feature
+backfill over 10^12 turns resumes from the last durable stage instead of
+recomputing the world, and the per-partition metrics expose skew (a partition
+with 100x the median rows = a salting bug).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import time
+from dataclasses import dataclass, field
+from typing import Callable, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass
+class Stage:
+    name: str
+    fn: Callable[..., DataFrame]
+    deps: Sequence[str] = field(default_factory=tuple)
+
+
+def _file_metrics(data_dir: str) -> list[dict]:
+    """Per-output-partition metrics from parquet footers (metadata only)."""
+    try:
+        import pyarrow.parquet as pq
+    except ImportError:           # pragma: no cover
+        return []
+    out = []
+    for f in sorted(os.listdir(data_dir)):
+        if not f.endswith(".parquet"):
+            continue
+        p = os.path.join(data_dir, f)
+        try:
+            md = pq.ParquetFile(p).metadata
+            out.append({"file": f, "rows": md.num_rows,
+                        "bytes": os.path.getsize(p),
+                        "row_groups": md.num_row_groups})
+        except Exception:         # pragma: no cover
+            out.append({"file": f, "bytes": os.path.getsize(p)})
+    return out
+
+
+class CheckpointedJob:
+    """DAG of checkpointed stages. See module docstring.
+
+    Usage::
+
+        job = CheckpointedJob(spark, "/ckpt", "daily_features")
+        job.stage("events", lambda s: s.read.parquet(path))
+        job.stage("feats", build_features, deps=["events"])
+        out = job.run()            # dict stage -> DataFrame (materialized)
+    """
+
+    def __init__(self, spark: SparkSession, root: str, name: str,
+                 partitions: int | None = None):
+        self.spark = spark
+        self.root = os.path.join(root, name)
+        self.name = name
+        self.partitions = partitions
+        self._stages: dict[str, Stage] = {}
+        self._order: list[str] = []
+
+    def stage(self, name: str, fn: Callable[..., DataFrame],
+              deps: Sequence[str] = ()) -> "CheckpointedJob":
+        if name in self._stages:
+            raise ValueError(f"duplicate stage {name!r}")
+        for d in deps:
+            if d not in self._stages:
+                raise ValueError(f"stage {name!r} depends on unknown {d!r}")
+        self._stages[name] = Stage(name, fn, tuple(deps))
+        self._order.append(name)
+        return self
+
+    # -- paths ---------------------------------------------------------------
+
+    def _dir(self, stage: str) -> str:
+        return os.path.join(self.root, stage)
+
+    def _data(self, stage: str) -> str:
+        return os.path.join(self._dir(stage), "data")
+
+    def _manifest_path(self, stage: str) -> str:
+        return os.path.join(self._dir(stage), "manifest.json")
+
+    # -- fingerprints: stage identity = name + dep fingerprints --------------
+
+    def _fingerprint(self, stage: str, dep_fps: list[str]) -> str:
+        h = hashlib.sha256()
+        h.update(stage.encode())
+        for fp in dep_fps:
+            h.update(fp.encode())
+        return h.hexdigest()[:16]
+
+    def _is_done(self, stage: str, fp: str) -> bool:
+        if not os.path.exists(os.path.join(self._data(stage), "_SUCCESS")):
+            return False
+        try:
+            with open(self._manifest_path(stage)) as f:
+                return json.load(f).get("fingerprint") == fp
+        except (OSError, json.JSONDecodeError):
+            return False
+
+    # -- run ------------------------------------------------------------------
+
+    def run(self, resume: bool = True) -> dict[str, DataFrame]:
+        results: dict[str, DataFrame] = {}
+        fps: dict[str, str] = {}
+        for name in self._order:
+            st = self._stages[name]
+            fp = self._fingerprint(name, [fps[d] for d in st.deps])
+            fps[name] = fp
+            data = self._data(name)
+            if resume and self._is_done(name, fp):
+                results[name] = self.spark.read.parquet(data)
+                continue
+            t0 = time.time()
+            df = st.fn(self.spark, *[results[d] for d in st.deps])
+            if self.partitions:
+                df = df.coalesce(self.partitions)
+            df.write.mode("overwrite").parquet(data)
+            wall = time.time() - t0
+            files = _file_metrics(data)
+            manifest = {
+                "job": self.name,
+                "stage": name,
+                "fingerprint": fp,
+                "deps": {d: fps[d] for d in st.deps},
+                "schema": df.schema.jsonValue(),
+                "n_rows": int(sum(f.get("rows", 0) for f in files)),
+                "n_files": len(files),
+                "partitions": files,
+                "wall_s": round(wall, 3),
+                "finished_at": time.strftime("%Y-%m-%dT%H:%M:%SZ",
+                                             time.gmtime()),
+            }
+            with open(self._manifest_path(name), "w") as f:
+                json.dump(manifest, f, indent=1)
+            results[name] = self.spark.read.parquet(data)
+        return results
+
+    def manifest(self, stage: str) -> dict:
+        with open(self._manifest_path(stage)) as f:
+            return json.load(f)
+
+    def lineage(self) -> dict[str, list[str]]:
+        return {n: list(s.deps) for n, s in self._stages.items()}

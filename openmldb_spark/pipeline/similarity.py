@@ -1,21 +1,24 @@
 """Similarity search over an embedding column (``array<float>``).
 
-- ``brute_force_topk`` — exact cosine top-k: broadcast the (small) query
-  set against the corpus, dot products as Catalyst ``zip_with`` +
-  ``aggregate`` (JVM, codegen'd), per-query top-k via window row_number.
-  The baseline; exact; scales linearly in corpus size with full
-  parallelism (corpus side is the partitioned side).
+- ``brute_force_topk`` — exact cosine top-k: the query set (small side)
+  is broadcast as a numpy matrix; the corpus streams through an Arrow
+  ``mapInPandas`` kernel doing one float64 matmul + per-batch top-k per
+  Arrow batch. Only partitions × |Q| × k candidate rows reach the final
+  global rank — the corpus never shuffles. The baseline; exact; scales
+  linearly in corpus size with full parallelism.
 - ``lsh_bucketed_topk`` — approximate: random-hyperplane signatures put
   corpus and queries into Hamming buckets; candidates are drawn from the
   query's bucket plus its 1-bit neighbor buckets (multi-probe), then
   exact-scored. Turns the O(Q×N) scan into O(Q×N/2^planes × probes) —
   the scale path for large Q.
 
-Norms are precomputed per row once; vectors are cast to double before the
-product so results are stable across platforms.
+Vectors are computed in float64 so results are stable across platforms.
 """
 
 from __future__ import annotations
+
+import numpy as np
+import pandas as pd
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -42,27 +45,62 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int,
                      exclude_self: bool = True) -> DataFrame:
     """Exact cosine top-k: (query_id, neighbor_id, rank, cosine).
 
-    ``queries`` is broadcast (the small side); the corpus scan is the
-    partitioned side so the join is a broadcast nested loop with no
-    shuffle of the corpus. Ties broken by neighbor id ascending.
+    The query set (small side — same constraint as a broadcast join) is
+    collected to numpy and shipped to executors; the corpus streams
+    through an Arrow ``mapInPandas`` kernel doing ONE float64 matmul per
+    batch and a per-batch top-k (argpartition), so only
+    partitions × |Q| × k candidate rows reach the final global rank —
+    the corpus itself never shuffles. Catalyst ``zip_with``/``aggregate``
+    dot products are interpreted (CodegenFallback) and measured ~10x
+    slower. Ties broken by neighbor id ascending.
     """
-    q = F.broadcast(queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("__qvec"),
-        _norm(F.col(vec_col)).alias("__qnorm")))
-    c = corpus.select(F.col(id_col).alias("neighbor_id"),
-                      F.col(vec_col).alias("__cvec"),
-                      _norm(F.col(vec_col)).alias("__cnorm"))
-    joined = c.crossJoin(q)
-    if exclude_self:
-        joined = joined.filter(F.col("neighbor_id") != F.col("query_id"))
-    scored = joined.select(
-        "query_id", "neighbor_id",
-        (_dot(F.col("__qvec"), F.col("__cvec"))
-         / (F.col("__qnorm") * F.col("__cnorm"))).alias("cosine"))
+    q_rows = queries.select(F.col(id_col), F.col(vec_col)).collect()
+    if not q_rows:
+        raise ValueError("empty query set")
+    qids = np.array([r[0] for r in q_rows])
+    qm = np.stack([np.asarray(r[1], dtype=np.float64) for r in q_rows])
+    qm = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+    spark = corpus.sparkSession
+    bc = spark.sparkContext.broadcast((qids, qm))
+
+    id_type = corpus.schema[id_col].dataType.simpleString()
+    out_schema = (f"query_id {id_type}, neighbor_id {id_type}, "
+                  f"cosine double")
+
+    def batches(it):
+        b_qids, b_qm = bc.value
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            cm = np.stack([np.asarray(v, dtype=np.float64)
+                           for v in pdf[vec_col]])
+            cm = cm / np.linalg.norm(cm, axis=1, keepdims=True)
+            sims = cm @ b_qm.T                        # (n, q)
+            nids = pdf[id_col].to_numpy()
+            out_q, out_n, out_s = [], [], []
+            for j in range(sims.shape[1]):
+                s = sims[:, j]
+                mask = np.ones(len(s), dtype=bool)
+                if exclude_self:
+                    mask = nids != b_qids[j]
+                idx = np.nonzero(mask)[0]
+                if len(idx) == 0:
+                    continue
+                kk = min(k, len(idx))
+                # top-k by (sim desc, id asc); full lexsort — batches are
+                # Arrow-bounded (≤65536 rows) so this is cheap and exact
+                # under sim ties at the k boundary
+                order = idx[np.lexsort((nids[idx], -s[idx]))][:kk]
+                out_q.extend([b_qids[j]] * len(order))
+                out_n.extend(nids[order])
+                out_s.extend(s[order])
+            yield pd.DataFrame({"query_id": out_q, "neighbor_id": out_n,
+                                "cosine": out_s})
+
+    cand = corpus.select(id_col, vec_col).mapInPandas(batches, out_schema)
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(),
                                                F.col("neighbor_id").asc())
-    return (scored.withColumn("rank", F.row_number().over(w))
+    return (cand.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select("query_id", "neighbor_id", "rank", "cosine"))
 

@@ -1,0 +1,285 @@
+"""Tests for the training-data pipeline: text features, dedup families,
+similarity search, multimodal plumbing — each against an independent
+pandas/numpy oracle on small deterministic data."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# fixtures
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy dog"),      # exact dup
+        (2, "the quick brown fox jumped over the lazy dog"),     # near dup
+        (3, "completely different text about spark engines"),
+        (4, ""),                                                 # empty
+        (5, "numbers 123 and punctuation!!! everywhere..."),
+        (6, "el gato y el perro de la casa que es de aqui"),     # es-ish
+        (7, "short"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+@pytest.fixture(scope="module")
+def emb_df(spark):
+    rng = np.random.RandomState(7)
+    vecs = rng.randn(40, 8).astype(np.float32)
+    vecs[1] = vecs[0] * 2.0 + 0.001          # near-parallel to 0
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<float>")
+    return df, vecs
+
+
+# ---------------------------------------------------------------------------
+# text
+
+
+def test_text_features_oracle(docs_df):
+    from openmldb_spark.pipeline.text import text_features
+
+    out = text_features(docs_df).orderBy("doc_id").toPandas()
+    texts = [r["text"] for _, r in
+             docs_df.orderBy("doc_id").toPandas().iterrows()]
+    for i, t in enumerate(texts):
+        toks = t.split()
+        assert out.loc[i, "n_tokens"] == len(toks), t
+        assert out.loc[i, "n_chars"] == len(t)
+        assert out.loc[i, "n_alpha"] == sum(c.isalpha() and c.isascii()
+                                            for c in t)
+        assert out.loc[i, "n_digit"] == sum(c.isdigit() for c in t)
+        assert 0.0 <= out.loc[i, "quality_score"] <= 1.0
+    # language guess: markers present
+    assert out.loc[0, "lang_guess"] == "en"
+    assert out.loc[6, "lang_guess"] == "es"
+    # fingerprint is stable and equal for identical texts
+    assert out.loc[0, "fingerprint"] == out.loc[1, "fingerprint"]
+    assert out.loc[0, "fingerprint"] != out.loc[3, "fingerprint"]
+
+
+# ---------------------------------------------------------------------------
+# dedup
+
+
+def test_exact_dedup(docs_df):
+    from openmldb_spark.pipeline.dedup import exact_dedup
+
+    out = exact_dedup(docs_df).toPandas()
+    assert len(out) == 7                       # 8 docs, one exact pair
+    dup = out[out.dup_count == 2]
+    assert len(dup) == 1 and dup.iloc[0].keep_id == 0
+
+
+def test_minhash_near_dup(docs_df):
+    from openmldb_spark.pipeline.dedup import (
+        minhash_lsh_pairs, minhash_signatures, ngram_jaccard_pairs)
+
+    sigs = minhash_signatures(docs_df, num_hashes=32, shingle=4).toPandas()
+    s = {r.doc_id: list(r.minhash) for _, r in sigs.iterrows()}
+    assert s[0] == s[1]                         # identical docs
+    agree_near = sum(a == b for a, b in zip(s[0], s[2])) / 32
+    agree_far = sum(a == b for a, b in zip(s[0], s[3])) / 32
+    assert agree_near > agree_far
+
+    pairs = minhash_lsh_pairs(docs_df, num_hashes=32, bands=8, shingle=4,
+                              threshold=0.5).toPandas()
+    found = {(a, b) for a, b in zip(pairs.id_a, pairs.id_b)}
+    assert (0, 1) in found and (0, 2) in found
+    assert not any(3 in p for p in found)
+
+    ver = ngram_jaccard_pairs(
+        minhash_lsh_pairs(docs_df, num_hashes=32, bands=8, shingle=4),
+        docs_df, shingle=4).toPandas()
+    j01 = ver[(ver.id_a == 0) & (ver.id_b == 1)].jaccard.iloc[0]
+    assert j01 == pytest.approx(1.0)
+
+
+def test_simhash_hamming(docs_df):
+    from openmldb_spark.pipeline.dedup import simhash
+
+    out = simhash(docs_df).toPandas()
+    s = {r.doc_id: int(r.simhash) for _, r in out.iterrows()}
+    assert s[0] == s[1]
+    ham_near = bin((s[0] ^ s[2]) & (2**64 - 1)).count("1")
+    ham_far = bin((s[0] ^ s[3]) & (2**64 - 1)).count("1")
+    assert ham_near < ham_far
+
+
+def test_embedding_near_dup(emb_df):
+    from openmldb_spark.pipeline.dedup import embedding_near_dup_pairs
+
+    df, vecs = emb_df
+    out = embedding_near_dup_pairs(df, threshold=0.95,
+                                   num_planes=4).toPandas()
+    found = {(a, b) for a, b in zip(out.id_a, out.id_b)}
+    assert (0, 1) in found                      # near-parallel pair
+    for _, r in out.iterrows():
+        a, b = vecs[int(r.id_a)].astype(np.float64), \
+            vecs[int(r.id_b)].astype(np.float64)
+        cos = a @ b / (np.linalg.norm(a) * np.linalg.norm(b))
+        assert r.cosine == pytest.approx(cos, rel=1e-9)
+        assert cos >= 0.95
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+
+
+def _np_topk(vecs, qids, k):
+    vn = vecs.astype(np.float64)
+    vn = vn / np.linalg.norm(vn, axis=1, keepdims=True)
+    sims = vn @ vn.T
+    out = {}
+    for q in qids:
+        order = sorted(range(len(vecs)), key=lambda i: (-sims[q, i], i))
+        out[q] = [(i, sims[q, i]) for i in order if i != q][:k]
+    return out
+
+
+def test_brute_force_topk_matches_numpy(emb_df):
+    from openmldb_spark.pipeline.similarity import brute_force_topk
+
+    df, vecs = emb_df
+    queries = df.filter(F.col("vec_id") < 3)
+    out = brute_force_topk(df, queries, k=4).toPandas()
+    oracle = _np_topk(vecs, [0, 1, 2], 4)
+    for q in [0, 1, 2]:
+        got = out[out.query_id == q].sort_values("rank")
+        assert list(got.neighbor_id) == [i for i, _ in oracle[q]]
+        for (_, row), (_, sim) in zip(got.iterrows(), oracle[q]):
+            assert row.cosine == pytest.approx(sim, rel=1e-9)
+
+
+def test_brute_force_topk_repartitioned_stable(emb_df):
+    from openmldb_spark.pipeline.similarity import brute_force_topk
+
+    df, _ = emb_df
+    queries = df.filter(F.col("vec_id") < 2)
+    a = brute_force_topk(df, queries, k=3).toPandas() \
+        .sort_values(["query_id", "rank"]).reset_index(drop=True)
+    b = brute_force_topk(df.repartition(7), queries, k=3).toPandas() \
+        .sort_values(["query_id", "rank"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_lsh_topk_recall(emb_df):
+    from openmldb_spark.pipeline.similarity import (
+        brute_force_topk, lsh_bucketed_topk)
+
+    df, _ = emb_df
+    queries = df.filter(F.col("vec_id") < 5)
+    exact = brute_force_topk(df, queries, k=3).toPandas()
+    approx = lsh_bucketed_topk(df, queries, k=3, num_planes=3).toPandas()
+    # top-1 recall of the multi-probe LSH should be decent on 40 vectors
+    hits = 0
+    for q in range(5):
+        e1 = exact[(exact.query_id == q) & (exact["rank"] == 1)]
+        a = approx[approx.query_id == q]
+        if len(a) and e1.neighbor_id.iloc[0] in set(a.neighbor_id):
+            hits += 1
+    assert hits >= 3
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing
+
+
+def test_media_features_deterministic(spark):
+    from openmldb_spark.pipeline.multimodal import (
+        attach_media_meta, extract_media_features)
+
+    df = spark.createDataFrame(
+        [(1, b"payload-one"), (2, b"payload-two"), (3, None)],
+        "id: long, payload: binary")
+    df = attach_media_meta(df, "payload", "image", "png")
+    assert df.schema["media_meta"].dataType.fieldNames() == \
+        ["media_type", "format", "width", "height", "duration_ms"]
+    out = extract_media_features(df, "id", "payload", n_features=4) \
+        .orderBy("id").toPandas()
+    assert list(out.n_bytes) == [11, 11, 0]
+    # deterministic: same payload -> same features, None -> zeros
+    out2 = extract_media_features(df, "id", "payload", n_features=4) \
+        .orderBy("id").toPandas()
+    assert [list(v) for v in out.features] == \
+        [list(v) for v in out2.features]
+    assert list(out.features.iloc[2]) == [0.0, 0.0, 0.0, 0.0]
+
+
+def test_media_decode_raise_stub(spark):
+    from openmldb_spark.pipeline.multimodal import extract_media_features
+    from py4j.protocol import Py4JJavaError
+
+    df = spark.createDataFrame([(1, b"x")], "id: long, payload: binary")
+    out = extract_media_features(df, "id", "payload", decode_stub="raise")
+    with pytest.raises(Exception):
+        out.collect()
+
+
+# ---------------------------------------------------------------------------
+# aggregate helpers
+
+
+def test_group_aggregate_helpers(spark):
+    from openmldb_spark.functions import aggregates as A
+
+    df = spark.createDataFrame(
+        [("a", "x", 1.0), ("a", "x", 3.0), ("a", "y", 10.0),
+         ("b", "y", 5.0), ("b", "y", 7.0), ("b", "z", -1.0)],
+        ["k", "cat", "v"])
+    agg = df.groupBy("k").agg(
+        A.count_where("v", "v > 2").alias("cw"),
+        A.sum_where("v", "v > 2").alias("sw"),
+        A.distinct_count("cat").alias("dc"),
+        A.top("v", 2).alias("top2"),
+        A.median("v").alias("med"),
+    ).orderBy("k").toPandas()
+    assert list(agg.cw) == [2, 2]
+    assert list(agg.sw) == [13.0, 12.0]
+    assert list(agg.dc) == [2, 2]
+    assert agg.top2.iloc[0] == "10.0,3.0"
+    assert agg.med.iloc[0] == 3.0
+
+    topn = A.topn_frequency_agg(df, ["k"], "cat", 2).orderBy("k").toPandas()
+    assert topn.topn_frequency.iloc[0] == "x,y"
+    assert topn.topn_frequency.iloc[1] == "y,z"
+
+    ratio = A.top1_ratio_agg(df, ["k"], "cat").orderBy("k").toPandas()
+    assert ratio.top1_ratio.iloc[0] == pytest.approx(2 / 3)
+
+    cate = A.cate_agg(df, ["k"], "v", "cat", "sum").orderBy("k").toPandas()
+    assert cate.sum_cate.iloc[0] == "x:4,y:10"
+    assert cate.sum_cate.iloc[1] == "y:12,z:-1"
+
+
+def test_scalar_registry(spark):
+    from openmldb_spark.functions.scalar import SCALARS, fn
+
+    df = spark.createDataFrame([(-3.7, "AbC", "a:1,b:2")],
+                               ["x", "s", "kv"])
+    out = df.select(
+        fn("abs")("x").alias("abs"),
+        fn("truncate")("x").alias("trunc"),
+        fn("lcase")("s").alias("lc"),
+        fn("strcmp")(F.col("s"), F.lit("AbC")).alias("cmp"),
+        fn("split_by_key")("kv", ",", ":").alias("keys"),
+        fn("nvl2")(F.lit(None), F.lit(1), F.lit(2)).alias("nvl2"),
+    ).toPandas()
+    assert out["abs"].iloc[0] == pytest.approx(3.7)
+    assert out["trunc"].iloc[0] == -3.0
+    assert out["lc"].iloc[0] == "abc"
+    assert out["cmp"].iloc[0] == 0
+    assert list(out["keys"].iloc[0]) == ["a", "b"]
+    assert out["nvl2"].iloc[0] == 2
+    assert len(SCALARS) >= 79
