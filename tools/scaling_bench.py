@@ -1,0 +1,94 @@
+"""Two-parallelism scaling evidence (north rule: throughput scaling
+efficiency >= 0.8 from N to 4N executors).
+
+No real cluster exists in this sandbox, so per the task instructions the
+same job runs at local[8] and local[32] (separate JVMs) on the same
+input, and efficiency = (T_8 / T_32) / 4. The input is the sf0.1 events
+table deterministically replicated REPLICAS times (user_id offset per
+replica — same per-key history lengths, more keys) so the run is long
+enough that per-task overheads don't dominate.
+
+Usage: python tools/scaling_bench.py [--replicas 20] [--out BENCH]
+Writes the result table into BENCH/BASELINE.md (by default).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+SCALE_INPUT = "/tmp/openmldb_spark_scale_input"
+
+
+def prepare_input(replicas: int) -> str:
+    marker = os.path.join(SCALE_INPUT, f"_REPLICAS_{replicas}")
+    if os.path.exists(marker):
+        return SCALE_INPUT
+    from openmldb_spark import get_spark
+    from pyspark.sql import functions as F
+
+    spark = get_spark("scale-prep", master="local[32]")
+    ev = spark.read.parquet("/root/testdata/sf0.1/events.parquet")
+    parts = []
+    for r in range(replicas):
+        parts.append(ev.withColumn(
+            "user_id", F.col("user_id") + F.lit(r * 1_000_000))
+            .withColumn("event_id",
+                        F.col("event_id") + F.lit(r * 1_000_000_000)))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    out.repartition(64).write.mode("overwrite").parquet(SCALE_INPUT)
+    open(marker, "w").close()
+    spark.stop()
+    return SCALE_INPUT
+
+
+def run_level(cpus: int, input_path: str) -> dict:
+    env = dict(os.environ)
+    p = subprocess.run(
+        [sys.executable, "/root/repo/tools/scaling_run.py",
+         "--cpus", str(cpus), "--input", input_path],
+        capture_output=True, text=True, env=env, timeout=3600)
+    for line in reversed(p.stdout.strip().splitlines()):
+        try:
+            return json.loads(line)
+        except json.JSONDecodeError:
+            continue
+    raise RuntimeError(f"no JSON from cpus={cpus}: {p.stdout[-2000:]}\n"
+                       f"{p.stderr[-2000:]}")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--replicas", type=int, default=20)
+    ap.add_argument("--levels", type=int, nargs=2, default=[8, 32])
+    args = ap.parse_args()
+
+    path = prepare_input(args.replicas)
+    lo, hi = args.levels
+    r_lo = run_level(lo, path)
+    r_hi = run_level(hi, path)
+    speedup = r_lo["wall_s"] / r_hi["wall_s"]
+    eff = speedup / (hi / lo)
+    result = {
+        "input_rows": r_lo["rows"],
+        f"local[{lo}]": r_lo,
+        f"local[{hi}]": r_hi,
+        "speedup": round(speedup, 3),
+        "scaling_efficiency": round(eff, 3),
+        "target": 0.8,
+        "meets_target": eff >= 0.8,
+    }
+    print(json.dumps(result, indent=1))
+    with open("/root/repo/BENCH_SCALING.json", "w") as f:
+        json.dump(result, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()
