@@ -256,6 +256,67 @@ def q_instance_not_in_window(spark, sf_dir):
     return out.select("event_id", "user_id", "cnt_inw")
 
 
+
+def q_window_positional(spark, sf_dir):
+    """distinct_count / top over a ROWS frame + OpenMLDB first_value
+    (= newest frame row) over a 4..1 PRECEDING frame — all native path."""
+    ev = _win_events(spark, sf_dir)
+    spec = WindowSpecFE(["user_id"], "ts", frame="rows", start=4, end=0,
+                        tiebreak=("event_id",))
+    out = window_agg(ev, spec, [
+        Agg("dc_types", "distinct_count", "event_type"),
+        Agg("top2_et", "top", "event_type", n=2)])
+    spec_fv = WindowSpecFE(["user_id"], "ts", frame="rows", start=4, end=1,
+                           tiebreak=("event_id",))
+    out_fv = window_agg(ev.select("event_id", "user_id", "ts", "value"),
+                        spec_fv, [Agg("fv", "first_value", "value")])
+    return (out.select("event_id", "user_id", "dc_types", "top2_et")
+            .join(out_fv.select("event_id", _r4("fv").alias("fv")),
+                  "event_id"))
+
+
+def q_const_project(spark, sf_dir):
+    """No-table SELECT (reference ConstProjectPlan, SELECT 1+1)."""
+    return spark.range(1).select(
+        (F.lit(1) + F.lit(1)).cast("int").alias("two"),
+        F.concat(F.lit("a"), F.lit("b")).alias("s"),
+        F.lit(None).cast("double").alias("nul"))
+
+
+
+def q_ttl_count_live(spark, sf_dir):
+    """TTL kTTLCountLive: newest 10 events per user (operators/ttl.py)."""
+    from openmldb_spark import count_live
+    ev = _t(spark, sf_dir, "events")
+    out = count_live(ev, "user_id", "ts", 10, tiebreak=("event_id",))
+    return out.select("event_id", "user_id", _ms().alias("ts_ms"))
+
+
+def q_ordered_limit(spark, sf_dir):
+    """LIMIT with a pinned total order (reference LimitPlan + SortBy)."""
+    ev = _t(spark, sf_dir, "events")
+    return (ev.orderBy(F.col("value").desc(), F.col("event_id").asc())
+            .limit(100)
+            .select("event_id", "user_id", _r4("value").alias("value")))
+
+
+def q_multi_window(spark, sf_dir):
+    """Two windows in one result row — the reference's multi-window
+    SELECT (concat-join internally; one native select here)."""
+    from openmldb_spark import multi_window_agg
+    ev = _t(spark, sf_dir, "events")
+    w1 = WindowSpecFE(["user_id"], "ts", frame="rows", start=2, end=0,
+                      tiebreak=("event_id",))
+    w2 = WindowSpecFE(["user_id"], "ts", frame="range", start=7_200_000,
+                      end=0, peer="sql")
+    out = multi_window_agg(ev, [
+        (w1, [Agg("sum_3r", "sum", "value")]),
+        (w2, [Agg("cnt_2h", "count", "value")]),
+    ])
+    return out.select("event_id", "user_id",
+                      _r4("sum_3r").alias("sum_3r"), "cnt_2h")
+
+
 # ---------------------------------------------------------------------------
 # joins
 
@@ -460,6 +521,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_exclude_current_time": q_window_exclude_current_time,
         "window_union": q_window_union,
         "instance_not_in_window": q_instance_not_in_window,
+        "window_positional": q_window_positional,
+        "const_project": q_const_project,
+        "ttl_count_live": q_ttl_count_live,
+        "ordered_limit": q_ordered_limit,
+        "multi_window": q_multi_window,
         "last_join_asof": q_last_join_asof,
         "last_join_broadcast": q_last_join_broadcast,
         "left_join": q_left_join,
@@ -646,6 +712,48 @@ SELECT e.event_id, e.user_id,
                AND epoch_ms(e2.ts) <= epoch_ms(e.ts)) + 1 AS BIGINT)
          AS cnt_inw
 FROM events e WHERE e.event_type = 'purchase'
+""",
+        "window_positional": f"""
+SELECT e.event_id, e.user_id,
+       (SELECT count(DISTINCT et) FROM (
+          SELECT e2.event_type AS et FROM events e2
+          WHERE e2.user_id = e.user_id AND {_LATERAL_VIS}
+          ORDER BY epoch_ms(e2.ts) DESC, e2.event_id DESC LIMIT 5))
+         AS dc_types,
+       (SELECT string_agg(et, ',' ORDER BY et DESC) FROM (
+          SELECT et FROM (
+            SELECT e2.event_type AS et FROM events e2
+            WHERE e2.user_id = e.user_id AND {_LATERAL_VIS}
+            ORDER BY epoch_ms(e2.ts) DESC, e2.event_id DESC LIMIT 5)
+          ORDER BY et DESC LIMIT 2)) AS top2_et,
+       (SELECT ROUND(e2.value + 0.000001, 4) FROM events e2
+        WHERE e2.user_id = e.user_id AND {_LATERAL_VIS_STRICT}
+        ORDER BY epoch_ms(e2.ts) DESC, e2.event_id DESC LIMIT 1) AS fv
+FROM events e
+""",
+        "const_project": """
+SELECT CAST(2 AS INT) AS two, 'ab' AS s, CAST(NULL AS DOUBLE) AS nul
+""",
+        "ttl_count_live": """
+SELECT event_id, user_id, epoch_ms(ts) AS ts_ms FROM (
+  SELECT event_id, user_id, ts,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY epoch_ms(ts) DESC, event_id DESC) AS rn
+  FROM events) WHERE rn <= 10
+""",
+        "ordered_limit": """
+SELECT event_id, user_id, ROUND(value + 0.000001, 4) AS value
+FROM events ORDER BY value DESC, event_id ASC LIMIT 100
+""",
+        "multi_window": """
+SELECT event_id, user_id,
+       ROUND(sum(value) OVER w1 + 0.000001, 4) AS sum_3r,
+       count(value) OVER w2 AS cnt_2h
+FROM events
+WINDOW w1 AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id
+              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+       w2 AS (PARTITION BY user_id ORDER BY epoch_ms(ts)
+              RANGE BETWEEN 7200000 PRECEDING AND CURRENT ROW)
 """,
         "last_join_asof": """
 SELECT e.event_id, e.user_id, epoch_ms(e.ts) AS ts_ms,

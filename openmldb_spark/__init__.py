@@ -27,8 +27,14 @@ Python UDFs anywhere in the engine).
 
 from openmldb_spark.session import get_spark  # noqa: F401
 from openmldb_spark.operators.last_join import last_join  # noqa: F401
-from openmldb_spark.operators.window_agg import WindowSpecFE, Agg, window_agg  # noqa: F401
+from openmldb_spark.operators.window_agg import (  # noqa: F401
+    WindowSpecFE, Agg, SkewConfig, window_agg, multi_window_agg)
 from openmldb_spark.operators.sessionize import sessionize  # noqa: F401
 from openmldb_spark.operators.backfill import ffill, bfill  # noqa: F401
+from openmldb_spark.operators.ttl import (  # noqa: F401
+    time_live, count_live, time_and_count_live)
+from openmldb_spark.operators.table_io import (  # noqa: F401
+    load_data, select_into, Warehouse)
+from openmldb_spark.jobs import CheckpointedJob  # noqa: F401
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"

@@ -1,0 +1,82 @@
+"""Data expiration — the reference's TTL semantics as logical filters.
+
+OpenMLDB tables carry per-index TTL specs (hybridse/src/proto/
+fe_type.proto:36-40: ``kTTLTimeLive`` — expire rows older than a time
+horizon; ``kTTLCountLive`` — keep only the newest k rows per key;
+``kTTLTimeLiveAndCountLive`` / or-combinations; cases
+cases/function/data_expiration/). Storage-level expiry is an online-store
+concern; in the batch engine TTL is a *logical* predicate applied at
+read time — which is exactly how a lakehouse handles it (partition-prune
+old data / rank-filter per key), so these transforms are the whole
+feature.
+
+``time_live`` compiles to a scan-level predicate (partition-prunable on
+a date-partitioned table); ``count_live`` is one shuffle + row_number.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from openmldb_spark.functions.timeutil import to_ms
+
+
+def time_live(df: DataFrame, ts_col: str, ttl_ms: int,
+              now_ms: int | None = None) -> DataFrame:
+    """kTTLTimeLive: keep rows with ts >= horizon.
+
+    ``now_ms`` defaults to the max ts in the frame of reference of the
+    *data* (batch semantics: expiry relative to the newest event, so a
+    backfill over historical data is reproducible); pass an explicit
+    wall-clock ms for online-parity behavior.
+    """
+    ord_ms = to_ms(df, ts_col)
+    if now_ms is None:
+        # one metadata-cheap aggregate to anchor the horizon; the filter
+        # itself stays a scan-level predicate (partition-prunable)
+        mx = df.agg(F.max(ord_ms).alias("m")).collect()[0]["m"]
+        if mx is None:
+            return df
+        return df.filter(ord_ms >= F.lit(int(mx) - ttl_ms))
+    return df.filter(ord_ms >= F.lit(int(now_ms) - ttl_ms))
+
+
+def count_live(df: DataFrame, keys: str | Sequence[str], ts_col: str,
+               k: int, tiebreak: Sequence[str] = ()) -> DataFrame:
+    """kTTLCountLive: keep the newest k rows per key (ties pinned by
+    ``tiebreak`` descending, newest-first)."""
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    w = Window.partitionBy(*keys).orderBy(
+        to_ms(df, ts_col).desc(),
+        *[F.col(c).desc() for c in tiebreak])
+    return (df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= k).drop("__rn"))
+
+
+def time_and_count_live(df: DataFrame, keys: str | Sequence[str],
+                        ts_col: str, ttl_ms: int, k: int,
+                        now_ms: int | None = None,
+                        tiebreak: Sequence[str] = (),
+                        combine: str = "and") -> DataFrame:
+    """kTTLTimeLiveAndCountLive: 'and' keeps rows passing BOTH filters
+    (expire if old OR beyond count — the reference's absandlat);
+    'or' keeps rows passing EITHER (absorlat)."""
+    if combine == "and":
+        return count_live(time_live(df, ts_col, ttl_ms, now_ms), keys,
+                          ts_col, k, tiebreak)
+    if combine != "or":
+        raise ValueError("combine must be 'and' or 'or'")
+    keys_l = [keys] if isinstance(keys, str) else list(keys)
+    ord_ms = to_ms(df, ts_col)
+    if now_ms is None:
+        mx = df.agg(F.max(ord_ms).alias("m")).collect()[0]["m"]
+        now_ms = int(mx) if mx is not None else 0
+    w = Window.partitionBy(*keys_l).orderBy(
+        ord_ms.desc(), *[F.col(c).desc() for c in tiebreak])
+    return (df.withColumn("__rn", F.row_number().over(w))
+            .filter((F.col("__rn") <= k)
+                    | (ord_ms >= F.lit(now_ms - ttl_ms)))
+            .drop("__rn"))

@@ -251,7 +251,8 @@ def _fmt_num(v) -> str:
 
 
 def _make_kernel(spec: WindowSpecFE, aggs: list[Agg], out_cols: list[str],
-                 passthrough: list[str], dtypes: dict[str, str]):
+                 passthrough: list[str], dtypes: dict[str, str],
+                 cond_cols: dict[str, str]):
     """Build the applyInPandas kernel. Everything the kernel needs is
     captured by value (plain python objects) — no Spark objects."""
     frame = spec.frame
@@ -337,10 +338,11 @@ def _make_kernel(spec: WindowSpecFE, aggs: list[Agg], out_cols: list[str],
         for c in cols_needed:
             arr[c] = pdf[c].to_numpy()
 
-        conds = {cd for (_, _, _, cd, _, _) in agg_specs if cd}
-        cond_mask: dict[str, np.ndarray] = {}
-        for cd in conds:
-            cond_mask[cd] = pdf.eval(cd).to_numpy(bool)
+        # cond masks were evaluated Spark-side (full SQL semantics) into
+        # __omls_cond* boolean columns — never pandas.eval'd
+        cond_mask: dict[str, np.ndarray] = {
+            cd: pdf[cn].fillna(False).to_numpy(bool)
+            for cd, cn in cond_cols.items()}
 
         def prefix_sum(vals, extra=None):
             v = pd.to_numeric(pd.Series(vals), errors="coerce").to_numpy(np.float64)
@@ -533,6 +535,55 @@ def window_agg(df: DataFrame, spec: WindowSpecFE, aggs: Sequence[Agg],
     return _kernel_exec(df, spec, aggs, skew)
 
 
+def multi_window_agg(df: DataFrame,
+                     windows: Sequence[tuple[WindowSpecFE, Sequence[Agg]]],
+                     skew: SkewConfig | None = None) -> DataFrame:
+    """Several windows over one table in one result row — the reference's
+    multi-window SELECT.
+
+    The reference plans each WINDOW clause as a separate WindowAgg
+    subtree and stitches the outputs back with an internal concat-join on
+    a row-id bound at the plans' lowest common ancestor
+    (SparkPlanner.scala:100-220, nodes/ConcatJoinPlan.scala:32-81), gated
+    by ``openmldb.window.parallelization``. In Spark the native case
+    needs none of that: every ``f() OVER w_i`` coexists in ONE select, so
+    all-native specs compile to a single projection over N Window execs
+    that share scans (and shuffles, when partition keys match).
+
+    Kernel-path specs (maxsize/excludes/union/salting) can't share a
+    select; those fall back to the concat-join shape — computed
+    separately and zipped back by a row-id. The row-id is
+    content-derived (xxhash of all primary columns is NOT safe under
+    duplicates, so we use a deterministic row_number over a total order
+    the caller's tiebreak pins).
+    """
+    windows = [(spec, list(aggs)) for spec, aggs in windows]
+    native, kernel = [], []
+    for spec, aggs in windows:
+        needs = spec.needs_kernel() or skew is not None \
+            or any(a.fn not in _NATIVE_FNS for a in aggs) or spec.union_dfs
+        (kernel if needs else native).append((spec, aggs))
+
+    out = df
+    if native:
+        d = out
+        cols = [F.col(c) for c in out.columns]
+        for spec, aggs in native:
+            d2, w, w_unb = _spark_window(d, spec)
+            d = d2
+            cols += [_native_expr(a, w, w_unb).alias(a.name) for a in aggs]
+        # one select: N window specs, Catalyst shares compatible exchanges
+        out = d.select(*cols)
+    for spec, aggs in kernel:
+        res = window_agg(df, spec, aggs, skew=skew)
+        # concat-join: zip by the caller-pinned total order
+        key_cols = list(spec.partition_by) + [spec.order_by] + \
+            list(spec.tiebreak)
+        res = res.select(*key_cols, *[a.name for a in aggs])
+        out = out.join(res, on=key_cols, how="left")
+    return out
+
+
 def _spark_window(df: DataFrame, spec: WindowSpecFE):
     ordc = _ord_ms(df, spec.order_by)
     d = df.withColumn(_ORD, ordc)
@@ -593,6 +644,15 @@ def _kernel_exec(df: DataFrame, spec: WindowSpecFE, aggs: list[Agg],
         allr = allr.unionByName(p)
     allr = allr.withColumn(_EMIT, F.col(_SIDE))
 
+    # evaluate *_where conditions as Catalyst expressions (full SQL
+    # semantics incl. NULL handling) into boolean columns for the kernel
+    cond_cols: dict[str, str] = {}
+    for a in aggs:
+        if a.cond and a.cond not in cond_cols:
+            cn = f"__omls_cond{len(cond_cols)}"
+            cond_cols[a.cond] = cn
+            allr = allr.withColumn(cn, F.expr(a.cond).cast("boolean"))
+
     group_keys = list(keys)
     if skew is not None:
         allr = _salt(allr, keys, skew)
@@ -609,10 +669,10 @@ def _kernel_exec(df: DataFrame, spec: WindowSpecFE, aggs: list[Agg],
     out_schema = T.StructType(out_fields)
 
     kernel = _make_kernel(spec, aggs, [a.name for a in aggs], passthrough,
-                          dtypes)
+                          dtypes, cond_cols)
     sel_cols = list(dict.fromkeys(
         passthrough + [_ORD, _SIDE, _EMIT] + group_keys +
-        [c for c in spec.tiebreak]))
+        [c for c in spec.tiebreak] + list(cond_cols.values())))
     res = (allr.select(*sel_cols)
                .groupBy(*group_keys)
                .applyInPandas(kernel, schema=out_schema))

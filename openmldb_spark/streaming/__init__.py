@@ -1,0 +1,3 @@
+from openmldb_spark.streaming.ingest import stream_ingest  # noqa: F401
+from openmldb_spark.streaming.features import (  # noqa: F401
+    streaming_window_counts, streaming_sessions)

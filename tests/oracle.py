@@ -204,7 +204,10 @@ def oracle_last_join(left: pd.DataFrame, right: pd.DataFrame,
         rec = lrow.to_dict()
         if len(cand):
             sort_cols = [order_by] + ([tiebreak] if tiebreak else [])
-            best = cand.sort_values(sort_cols, kind="mergesort").iloc[-1]
+            # max-wins ties with NULL losing (engine semantics: NULLs
+            # sort first ascending, so the non-NULL max is kept)
+            best = cand.sort_values(sort_cols, kind="mergesort",
+                                    na_position="first").iloc[-1]
             for c, oc in rcols.items():
                 rec[oc] = best[c]
         else:

@@ -1,0 +1,62 @@
+"""LOAD DATA / SELECT INTO / warehouse layout (reference
+LoadDataPlan.scala:30-134, SelectIntoPlan.scala:26-56)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+
+def test_load_data_csv_roundtrip(spark, tmp_path):
+    from openmldb_spark.operators.table_io import load_data, select_into
+
+    df = spark.range(20).select(
+        F.col("id"), (F.col("id") * 1.5).alias("v"),
+        F.concat(F.lit("n"), F.col("id")).alias("name"))
+    p = str(tmp_path / "out_csv")
+    select_into(df, p, fmt="csv", mode="overwrite", single_file=True)
+    parts = [f for f in os.listdir(p) if f.startswith("part-")]
+    assert len(parts) == 1                      # single_file
+
+    back = load_data(spark, p, fmt="csv")
+    assert back.count() == 20
+    assert set(back.columns) == {"id", "v", "name"}
+    assert back.agg(F.sum("v")).collect()[0][0] == \
+        pytest.approx(sum(i * 1.5 for i in range(20)))
+
+
+def test_select_into_modes(spark, tmp_path):
+    from openmldb_spark.operators.table_io import select_into
+
+    df = spark.range(5)
+    p = str(tmp_path / "m")
+    select_into(df, p, mode="error_if_exists")
+    with pytest.raises(Exception):
+        select_into(df, p, mode="error_if_exists")
+    select_into(df, p, mode="append")
+    assert spark.read.parquet(p).count() == 10
+    select_into(df, p, mode="overwrite")
+    assert spark.read.parquet(p).count() == 5
+    with pytest.raises(ValueError):
+        select_into(df, p, mode="bogus")
+
+
+def test_warehouse_partitioned_layout(spark, tmp_path):
+    from openmldb_spark.operators.table_io import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    wh.write(ev, "feat.events", mode="overwrite",
+             buckets=4, sort_by=["user_id", "ts"])
+    assert wh.exists("feat.events")
+    back = wh.read("feat.events")
+    assert back.count() == ev.count()
+    # sorted-within-bucket layout: each file's user_id runs are monotone
+    pdf = back.withColumn("f", F.input_file_name()) \
+              .select("f", "user_id", "ts").toPandas()
+    for _, g in pdf.groupby("f"):
+        u = g.user_id.to_numpy()
+        assert (u[:-1] <= u[1:]).all()

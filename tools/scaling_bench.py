@@ -51,8 +51,14 @@ def prepare_input(replicas: int) -> str:
 
 def run_level(cpus: int, input_path: str) -> dict:
     env = dict(os.environ)
+    # Pin the WHOLE process tree (JVM task threads + pyspark daemon
+    # workers) to exactly `cpus` physical cores. Without this, local[N]
+    # caps only JVM task slots while Python workers spill onto every
+    # core — local[8] silently uses ~2N cores and the N-vs-4N comparison
+    # is meaningless.
     p = subprocess.run(
-        [sys.executable, "/root/repo/tools/scaling_run.py",
+        ["taskset", "-c", f"0-{cpus - 1}",
+         sys.executable, "/root/repo/tools/scaling_run.py",
          "--cpus", str(cpus), "--input", input_path],
         capture_output=True, text=True, env=env, timeout=3600)
     for line in reversed(p.stdout.strip().splitlines()):
