@@ -191,32 +191,43 @@ def ngram_jaccard_pairs(pairs: DataFrame, docs: DataFrame,
 
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
             bits: int = 64) -> DataFrame:
-    """64-bit SimHash over whitespace tokens, pure Catalyst.
+    """64-bit SimHash over whitespace tokens via one Arrow kernel.
 
-    For each bit: sign of sum over tokens of ±1 (sign taken from that
-    bit of xxhash64(token)). Near-dups have small Hamming distance.
+    For each bit: sign of the sum over tokens of +-1 (sign taken from
+    that bit of a 64-bit FNV-1a token hash). Near-dups have small
+    Hamming distance. The kernel unpacks token hashes into a (tokens,
+    bits) sign matrix and column-sums it -- one numpy op per doc; the
+    previous Catalyst formulation (one interpreted ``aggregate`` per
+    bit) re-evaluated the token array 64 times.
     """
-    toks = F.split(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "),
-                   " ")
-    hs = F.transform(toks, lambda t: F.xxhash64(t))
-    def bit_merge(i: int):
-        if i < 63:
-            return lambda acc, h: acc + F.when(
-                h.bitwiseAND(F.lit(1 << i)) != 0, 1).otherwise(-1)
-        # bit 63 = sign bit of the int64 hash
-        return lambda acc, h: acc + F.when(h < 0, 1).otherwise(-1)
+    if bits != 64:
+        raise ValueError("simhash is a 64-bit signature")
+    from pyspark.sql.functions import pandas_udf
 
-    bit_cols = []
-    for i in range(bits):
-        s = F.aggregate(hs, F.lit(0).cast("long"), bit_merge(i))
-        # bit 63 is the int64 sign bit: its "set" value is -2^63
-        bitval = (1 << i) if i < 63 else -(1 << 63)
-        bit_cols.append(F.when(s > 0, F.lit(bitval).cast("long"))
-                        .otherwise(F.lit(0).cast("long")))
-    sig = bit_cols[0]
-    for c in bit_cols[1:]:
-        sig = sig.bitwiseOR(c)
-    return df.select(F.col(id_col), sig.alias("simhash"))
+    bit_mat = (np.uint64(1) << np.arange(64, dtype=np.uint64))
+
+    def fnv(tok: str) -> int:
+        h = 0xcbf29ce484222325
+        for b in tok.encode("utf-8", "ignore"):
+            h = ((h ^ b) * 0x100000001b3) & 0xFFFFFFFFFFFFFFFF
+        return h
+
+    @pandas_udf("long")
+    def sh(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts.fillna(""):
+            toks = t.lower().split()
+            if not toks:
+                out.append(0)
+                continue
+            hs = np.array([fnv(w) for w in toks], dtype=np.uint64)
+            votes = ((hs[:, None] & bit_mat[None, :]) != 0).sum(axis=0) * 2 \
+                - len(hs)
+            sig = bit_mat[votes > 0].sum(dtype=np.uint64)
+            out.append(int(np.int64(sig)))
+        return pd.Series(out, dtype="int64")
+
+    return df.select(F.col(id_col), sh(F.col(text_col)).alias("simhash"))
 
 
 def embedding_near_dup_pairs(df: DataFrame, vec_col: str = "embedding",

@@ -283,3 +283,20 @@ def test_scalar_registry(spark):
     assert list(out["keys"].iloc[0]) == ["a", "b"]
     assert out["nvl2"].iloc[0] == 2
     assert len(SCALARS) >= 79
+
+
+def test_text_features_modes_agree(docs_df):
+    """Kernel and expression paths agree on everything but fingerprint
+    (documented hash-family divergence)."""
+    from openmldb_spark.pipeline.text import text_features
+
+    k = text_features(docs_df, mode="kernel").orderBy("doc_id").toPandas()
+    e = text_features(docs_df, mode="expr").orderBy("doc_id").toPandas()
+    for col in [c for c in k.columns if c != "fingerprint"]:
+        if k[col].dtype.kind == "f":
+            assert np.allclose(k[col], e[col], rtol=1e-9), col
+        else:
+            assert list(k[col]) == list(e[col]), col
+    # fingerprints differ in family but share the invariant
+    assert (k.fingerprint[0] == k.fingerprint[1]) and \
+        (e.fingerprint[0] == e.fingerprint[1])
