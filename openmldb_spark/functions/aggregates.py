@@ -143,3 +143,97 @@ def cate_agg(df: DataFrame, keys: Sequence[str], col: str | None, cate: str,
                 F.struct(F.col(cate).cast("string").alias("k"),
                          entry.alias("e")))).getField("e"))
                 .alias(out_col)))
+
+
+def _cate_per_cat(df: DataFrame, keys: list[str], col: str | None,
+                  cate: str, fn: str, cond) -> DataFrame:
+    target = F.lit(1) if fn == "count" and col is None else _c(col)
+    if cond is not None:
+        target = F.when(_cond(cond), target)
+    return (df.filter(F.col(cate).isNotNull())
+            .groupBy(*keys, cate)
+            .agg(_CATE_FNS[fn](target).alias("__v"))
+            .filter(F.col("__v").isNotNull()))
+
+
+def _cate_val_str(fn: str) -> Column:
+    if fn == "count":
+        return F.col("__v").cast("string")
+    return F.when(F.col("__v").cast("double") ==
+                  F.floor("__v").cast("double"),
+                  F.floor("__v").cast("long").cast("string")) \
+            .otherwise(F.col("__v").cast("string"))
+
+
+def _topn_cate(df: DataFrame, keys: Sequence[str], col: str | None,
+               cate: str, fn: str, n: int, cond, order_cols,
+               out_col: str) -> DataFrame:
+    keys = list(keys)
+    per_cat = _cate_per_cat(df, keys, col, cate, fn, cond)
+    w = Window.partitionBy(*keys).orderBy(*order_cols)
+    entry = F.concat(F.col(cate).cast("string"), F.lit(":"),
+                     _cate_val_str(fn))
+    ranked = (per_cat.withColumn("__rn", F.row_number().over(w))
+              .filter(F.col("__rn") <= n))
+    return (ranked.groupBy(*keys)
+            .agg(F.concat_ws(",", F.array_sort(F.collect_list(
+                F.struct(F.col("__rn").alias("r"), entry.alias("e"))))
+                .getField("e")).alias(out_col)))
+
+
+def top_n_key_cate_agg(df: DataFrame, keys: Sequence[str],
+                       col: str | None, cate: str, fn: str, n: int,
+                       cond: str | Column | None = None,
+                       out_col: str | None = None) -> DataFrame:
+    """``top_n_key_{fn}_cate_where``: aggregate per category, keep the n
+    LARGEST category keys, output "K:V,..." in DESCENDING key order
+    (reference containers.h map reverse iteration; udfs_8h.md example
+    "z:2,y:2")."""
+    return _topn_cate(df, keys, col, cate, fn, n, cond,
+                      [F.col(cate).desc()],
+                      out_col or f"top{n}_key_{fn}_cate")
+
+
+def top_n_value_cate_agg(df: DataFrame, keys: Sequence[str],
+                         col: str | None, cate: str, fn: str, n: int,
+                         cond: str | Column | None = None,
+                         out_col: str | None = None) -> DataFrame:
+    """``top_n_value_{fn}_cate_where``: keep the n largest aggregate
+    VALUES, output in descending (value, key) order (reference
+    containers.h PairCmp ascending + reverse output; the udfs_8h.md
+    example output "x:3,y:2" is a doc typo — y's count-where is 1)."""
+    return _topn_cate(df, keys, col, cate, fn, n, cond,
+                      [F.col("__v").desc(), F.col(cate).desc()],
+                      out_col or f"top{n}_value_{fn}_cate")
+
+
+# -- FeatureZero window-split family (feature_zero_def.cc) -------------------
+
+def window_split_agg(df: DataFrame, keys: Sequence[str], col: str,
+                     sep: str, out_col: str = "window_split") -> Column | DataFrame:
+    """``window_split``: split every string in the group and flatten into
+    one list (order = input order within the group)."""
+    return (df.groupBy(*list(keys))
+            .agg(F.flatten(F.collect_list(F.split(F.col(col), sep)))
+                 .alias(out_col)))
+
+
+def window_split_by_key_agg(df: DataFrame, keys: Sequence[str], col: str,
+                            item_sep: str, kv_sep: str,
+                            out_col: str = "keys") -> DataFrame:
+    """``window_split_by_key``: split "k1:v1,k2:v2" strings across the
+    group, flatten the key parts."""
+    return (df.groupBy(*list(keys))
+            .agg(F.flatten(F.collect_list(F.map_keys(F.str_to_map(
+                F.col(col), F.lit(item_sep), F.lit(kv_sep)))))
+                .alias(out_col)))
+
+
+def window_split_by_value_agg(df: DataFrame, keys: Sequence[str], col: str,
+                              item_sep: str, kv_sep: str,
+                              out_col: str = "values") -> DataFrame:
+    """``window_split_by_value``: flatten the value parts."""
+    return (df.groupBy(*list(keys))
+            .agg(F.flatten(F.collect_list(F.map_values(F.str_to_map(
+                F.col(col), F.lit(item_sep), F.lit(kv_sep)))))
+                .alias(out_col)))

@@ -300,3 +300,44 @@ def test_text_features_modes_agree(docs_df):
     # fingerprints differ in family but share the invariant
     assert (k.fingerprint[0] == k.fingerprint[1]) and \
         (e.fingerprint[0] == e.fingerprint[1])
+
+
+def test_top_n_cate_families(spark):
+    """Reference semantics from containers.h PairCmp + reverse output:
+    top_n_key = n largest keys desc; top_n_value = (value desc, key desc).
+    Input mirrors udfs_8h.md's top_n_key_count_cate_where example."""
+    from openmldb_spark.functions import aggregates as A
+
+    rows = [("g", 0, True, "x"), ("g", 1, True, "y"), ("g", 2, False, "x"),
+            ("g", 3, True, "y"), ("g", 4, False, "x"), ("g", 5, True, "z"),
+            ("g", 6, True, "z")]
+    df = spark.createDataFrame(rows, ["k", "value", "cond", "cat"])
+
+    out = A.top_n_key_cate_agg(df, ["k"], "value", "cat", "count", 2,
+                               cond=F.col("cond")).toPandas()
+    assert out.iloc[0]["top2_key_count_cate"] == "z:2,y:2"
+
+    out = A.top_n_value_cate_agg(df, ["k"], "value", "cat", "count", 2,
+                                 cond=F.col("cond")).toPandas()
+    # counts: x:0(false rows... x has 0 true? x rows: 0 true,2 false,4
+    # false -> count=1), y:2, z:2 -> top2 by (v desc, key desc): z:2,y:2
+    assert out.iloc[0]["top2_value_count_cate"] == "z:2,y:2"
+
+    out = A.top_n_value_cate_agg(df, ["k"], "value", "cat", "sum", 2) \
+        .toPandas()
+    # sums (no cond): x:6, y:4, z:11 -> z:11,x:6
+    assert out.iloc[0]["top2_value_sum_cate"] == "z:11,x:6"
+
+
+def test_window_split_family(spark):
+    from openmldb_spark.functions import aggregates as A
+
+    df = spark.createDataFrame(
+        [("g", "a b", "k1:1,k2:2"), ("g", "c", "k3:3")],
+        ["k", "s", "kv"])
+    out = A.window_split_agg(df, ["k"], "s", " ").toPandas()
+    assert sorted(out.iloc[0]["window_split"]) == ["a", "b", "c"]
+    out = A.window_split_by_key_agg(df, ["k"], "kv", ",", ":").toPandas()
+    assert sorted(out.iloc[0]["keys"]) == ["k1", "k2", "k3"]
+    out = A.window_split_by_value_agg(df, ["k"], "kv", ",", ":").toPandas()
+    assert sorted(out.iloc[0]["values"]) == ["1", "2", "3"]
