@@ -317,6 +317,21 @@ def q_multi_window(spark, sf_dir):
                       _r4("sum_3r").alias("sum_3r"), "cnt_2h")
 
 
+
+def q_long_window(spark, sf_dir):
+    """Wide-frame (7d) rolling aggs via the running-difference path
+    (operators/long_window.py — the LONG_WINDOWS optimization analog)."""
+    from openmldb_spark.operators.long_window import long_window_agg
+    ev = _t(spark, sf_dir, "events")
+    out = long_window_agg(ev, ["user_id"], "ts", 7 * 24 * 3_600_000, [
+        Agg("cnt_7d", "count", "value"),
+        Agg("sum_7d", "sum", "value"),
+        Agg("avg_7d", "avg", "value")])
+    return out.select("event_id", "user_id", "cnt_7d",
+                      _r4("sum_7d").alias("sum_7d"),
+                      _r4("avg_7d").alias("avg_7d"))
+
+
 # ---------------------------------------------------------------------------
 # joins
 
@@ -526,6 +541,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ttl_count_live": q_ttl_count_live,
         "ordered_limit": q_ordered_limit,
         "multi_window": q_multi_window,
+        "long_window": q_long_window,
         "last_join_asof": q_last_join_asof,
         "last_join_broadcast": q_last_join_broadcast,
         "left_join": q_left_join,
@@ -754,6 +770,15 @@ WINDOW w1 AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id
               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
        w2 AS (PARTITION BY user_id ORDER BY epoch_ms(ts)
               RANGE BETWEEN 7200000 PRECEDING AND CURRENT ROW)
+""",
+        "long_window": """
+SELECT event_id, user_id,
+       count(value) OVER w AS cnt_7d,
+       ROUND(sum(value) OVER w + 0.000001, 4) AS sum_7d,
+       ROUND(avg(value) OVER w + 0.000001, 4) AS avg_7d
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts)
+             RANGE BETWEEN 604800000 PRECEDING AND CURRENT ROW)
 """,
         "last_join_asof": """
 SELECT e.event_id, e.user_id, epoch_ms(e.ts) AS ts_ms,
