@@ -278,8 +278,16 @@ def _make_kernel(spec: WindowSpecFE, aggs: list[Agg], out_cols: list[str],
 
         # ---- base frame bounds [lo, hi] (inclusive, indices into sorted grp)
         if frame == "rows":
-            lo = idx - start + (1 if open_start else 0)
-            hi = idx - end
+            # ROWS frames count slots over the BUFFERED rows only
+            # (reference: HistoryWindow buffers exclude same-current-time
+            # rows under EXCLUDE CURRENT_TIME, and primary rows under
+            # INSTANCE_NOT_IN_WINDOW — golden cases
+            # test_window_exclude_current_time.yaml#3,
+            # test_window_union.yaml#13). Slot bounds are resolved below,
+            # after the visibility mask/cumsum exist; here only the hard
+            # position bounds apply.
+            lo = np.zeros(m, dtype=np.int64)
+            hi = idx.copy()
         else:
             q_lo = ts - start
             lo = np.searchsorted(ts, q_lo, side="right" if open_start else "left")
@@ -288,8 +296,6 @@ def _make_kernel(spec: WindowSpecFE, aggs: list[Agg], out_cols: list[str],
         if end == 0 and not peer_sql:
             hi = np.minimum(hi, idx)          # stream peers: only seen rows
         hi = np.minimum(hi, m - 1)
-
-        self_in_base = (end == 0) & (hi >= idx) if frame == "range" else (end == 0)
         # frame decomposition: contiguous [lo, chi] + optional self row
         if ex_time and end == 0:
             first_peer = np.searchsorted(ts, ts, side="left")
@@ -320,6 +326,32 @@ def _make_kernel(spec: WindowSpecFE, aggs: list[Agg], out_cols: list[str],
 
         cmask = mask.astype(np.int64)
         cum = np.concatenate([[0], np.cumsum(cmask)])  # masked row counts
+
+        # ---- ROWS frames: slot bounds over visible rows only
+        if frame == "rows":
+            n_open = 1 if open_start else 0
+            c_vis = cum[np.maximum(chi + 1, 0)]
+            if end == 0:
+                # n_prec preceding slots; self occupies one only while it
+                # sits inside the contiguous segment
+                budget = (start - n_open) + (0 if sep_self2 else 1)
+                target = np.maximum(c_vis - max(budget, 0), 0)
+                lo = np.maximum(lo, np.searchsorted(cum, target,
+                                                    side="left"))
+            else:
+                # BETWEEN a PRECEDING AND b PRECEDING: drop the newest
+                # b-1 visible PRECEDING rows, plus self iff it is part of
+                # the visible prefix (it is masked out under union
+                # semantics and carved out by sep-self handling)
+                self_vis = (cmask[idx] == 1) & (chi >= idx)
+                drop = (end - 1) + self_vis.astype(np.int64)
+                chi = np.minimum(chi, np.searchsorted(
+                    cum, np.maximum(c_vis - drop, 0),
+                    side="left") - 1)
+                c2 = cum[np.maximum(chi + 1, 0)]
+                width = start - end + 1 - n_open
+                lo = np.maximum(lo, np.searchsorted(
+                    cum, np.maximum(c2 - max(width, 0), 0), side="left"))
 
         # ---- maxsize: keep the newest k frame rows (self counts toward k)
         if maxsize is not None:
@@ -522,6 +554,13 @@ def window_agg(df: DataFrame, spec: WindowSpecFE, aggs: Sequence[Agg],
                 f"supported: {sorted(_ALL_FNS)}")
         if a.fn not in ("count",) and not a.col:
             raise ValueError(f"agg {a.name!r} ({a.fn}) requires col=")
+    if spec.peer == "sql" and (spec.exclude_current_time
+                               or spec.exclude_current_row
+                               or spec.instance_not_in_window):
+        raise ValueError(
+            "EXCLUDE CURRENT_TIME/ROW and INSTANCE_NOT_IN_WINDOW are "
+            "stream-peer semantics (the OpenMLDB buffer model); "
+            "peer='sql' cannot combine with them")
     # reference drops NULL order keys (WindowAggPlan.scala:784-791)
     df = df.filter(F.col(spec.order_by).isNotNull())
 

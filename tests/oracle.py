@@ -18,6 +18,87 @@ def _ord_ms(s: pd.Series) -> pd.Series:
     return s.astype("float64")
 
 
+def _apply_aggs(aggs, g, fr, i, row):
+    """Evaluate agg specs over frame indices ``fr`` (sorted
+    oldest->newest, self last when included) of group ``g``."""
+    for spec in (aggs or []):
+        name, fn, col = spec[0], spec[1], spec[2]
+        extra = spec[3] if len(spec) > 3 else None
+        vals = [g[col].iloc[j] for j in fr] if col not in (None, "*") \
+            else [1] * len(fr)
+        nn = [v for v in vals if v is not None and not (
+            isinstance(v, float) and np.isnan(v))]
+        if fn == "count":
+            row[name] = len(nn) if col not in (None, "*") else len(fr)
+        elif fn == "sum":
+            row[name] = sum(nn) if nn else None
+        elif fn == "avg":
+            row[name] = (sum(nn) / len(nn)) if nn else None
+        elif fn == "min":
+            row[name] = min(nn) if nn else None
+        elif fn == "max":
+            row[name] = max(nn) if nn else None
+        elif fn == "distinct_count":
+            row[name] = len(set(nn))
+        elif fn == "first_value":
+            row[name] = g[col].iloc[fr[-1]] if fr else None
+        elif fn == "lag":
+            k = extra or 1
+            row[name] = g[col].iloc[i - k] if i - k >= 0 else None
+        elif fn in ("sum_where", "count_where", "avg_where",
+                    "min_where", "max_where"):
+            sel = [g[col].iloc[j] for j in fr if extra(g.iloc[j])]
+            sel = [v for v in sel if v is not None and not (
+                isinstance(v, float) and np.isnan(v))]
+            base = fn.split("_")[0]
+            if base == "count":
+                row[name] = len(sel)
+            elif base == "sum":
+                row[name] = sum(sel) if sel else None
+            elif base == "avg":
+                row[name] = sum(sel) / len(sel) if sel else None
+            elif base == "min":
+                row[name] = min(sel) if sel else None
+            else:
+                row[name] = max(sel) if sel else None
+        elif fn == "top":
+            k = extra or 1
+            xs = sorted(nn, reverse=True)[:k]
+            row[name] = ",".join(_fmt(x) for x in xs)
+        elif fn == "topn_frequency":
+            from collections import Counter
+            cnt = Counter(str(v) for v in nn)
+            row[name] = ",".join(
+                k2 for k2, _ in sorted(cnt.items(),
+                                       key=lambda kv: (-kv[1], kv[0]))[:extra])
+        elif fn == "top1_ratio":
+            from collections import Counter
+            cnt = Counter(str(v) for v in nn)
+            row[name] = (max(cnt.values()) / sum(cnt.values())) if cnt else None
+        elif fn in ("count_cate", "sum_cate", "avg_cate",
+                    "min_cate", "max_cate"):
+            acc = {}
+            for j in fr:
+                kk = g[extra].iloc[j]
+                vv = g[col].iloc[j]
+                if kk is None or (isinstance(kk, float) and np.isnan(kk)):
+                    continue
+                if vv is None or (isinstance(vv, float) and np.isnan(vv)):
+                    continue
+                acc.setdefault(str(kk), []).append(vv)
+            base = fn.split("_")[0]
+            parts = []
+            for kk in sorted(acc):
+                xs = acc[kk]
+                v = {"count": len(xs), "sum": sum(xs),
+                     "avg": sum(xs) / len(xs), "min": min(xs),
+                     "max": max(xs)}[base]
+                parts.append(f"{kk}:{_fmt(v)}")
+            row[name] = ",".join(parts) if parts else None
+        else:
+            raise ValueError(fn)
+
+
 def oracle_window(
     pdf: pd.DataFrame,
     keys: list[str],
@@ -60,9 +141,34 @@ def oracle_window(
                 continue
             # candidate indices: visible history
             if frame == "rows":
-                lo_i = i - start + (1 if open_start else 0)
-                hi_i = i - end
-                cand = [j for j in range(max(lo_i, 0), min(hi_i, m - 1) + 1)]
+                # ROWS slots count only BUFFERED rows (reference
+                # HistoryWindow: same-current-time rows under EXCLUDE
+                # CURRENT_TIME and primary rows under
+                # INSTANCE_NOT_IN_WINDOW never enter the buffer, so they
+                # consume no slots — golden cases
+                # test_window_exclude_current_time.yaml#3 and
+                # test_window_union.yaml#13)
+                vis = [j for j in range(0, i)
+                       if not (exclude_current_time and ts[j] == ts[i])
+                       and not (instance_not_in_window and side[j] == 1)]
+                n_open = 1 if open_start else 0
+                if end == 0:
+                    n_prec = max(start - n_open, 0)
+                    fr = vis[max(len(vis) - n_prec, 0):] if n_prec else []
+                    if not exclude_current_row:
+                        fr = fr + [i]
+                else:
+                    upto = len(vis) - (end - 1)
+                    width = start - end + 1 - n_open
+                    fr = vis[max(0, upto - width):max(upto, 0)]
+                if maxsize is not None and len(fr) > maxsize:
+                    fr = fr[-maxsize:]
+                row = {"__i": i}
+                _apply_aggs(aggs, g, fr, i, row)
+                rec = g.iloc[i].to_dict()
+                rec.update(row)
+                results.append(rec)
+                continue
             else:
                 lo_t = ts[i] - start
                 hi_t = ts[i] - end
@@ -94,82 +200,7 @@ def oracle_window(
             if maxsize is not None and len(fr) > maxsize:
                 fr = fr[-maxsize:]
             row = {"__i": i}
-            for spec in (aggs or []):
-                name, fn, col = spec[0], spec[1], spec[2]
-                extra = spec[3] if len(spec) > 3 else None
-                vals = [g[col].iloc[j] for j in fr] if col not in (None, "*") \
-                    else [1] * len(fr)
-                nn = [v for v in vals if v is not None and not (
-                    isinstance(v, float) and np.isnan(v))]
-                if fn == "count":
-                    row[name] = len(nn) if col not in (None, "*") else len(fr)
-                elif fn == "sum":
-                    row[name] = sum(nn) if nn else None
-                elif fn == "avg":
-                    row[name] = (sum(nn) / len(nn)) if nn else None
-                elif fn == "min":
-                    row[name] = min(nn) if nn else None
-                elif fn == "max":
-                    row[name] = max(nn) if nn else None
-                elif fn == "distinct_count":
-                    row[name] = len(set(nn))
-                elif fn == "first_value":
-                    row[name] = g[col].iloc[fr[-1]] if fr else None
-                elif fn == "lag":
-                    k = extra or 1
-                    row[name] = g[col].iloc[i - k] if i - k >= 0 else None
-                elif fn in ("sum_where", "count_where", "avg_where",
-                            "min_where", "max_where"):
-                    sel = [g[col].iloc[j] for j in fr if extra(g.iloc[j])]
-                    sel = [v for v in sel if v is not None and not (
-                        isinstance(v, float) and np.isnan(v))]
-                    base = fn.split("_")[0]
-                    if base == "count":
-                        row[name] = len(sel)
-                    elif base == "sum":
-                        row[name] = sum(sel) if sel else None
-                    elif base == "avg":
-                        row[name] = sum(sel) / len(sel) if sel else None
-                    elif base == "min":
-                        row[name] = min(sel) if sel else None
-                    else:
-                        row[name] = max(sel) if sel else None
-                elif fn == "top":
-                    k = extra or 1
-                    xs = sorted(nn, reverse=True)[:k]
-                    row[name] = ",".join(_fmt(x) for x in xs)
-                elif fn == "topn_frequency":
-                    from collections import Counter
-                    cnt = Counter(str(v) for v in nn)
-                    row[name] = ",".join(
-                        k2 for k2, _ in sorted(cnt.items(),
-                                               key=lambda kv: (-kv[1], kv[0]))[:extra])
-                elif fn == "top1_ratio":
-                    from collections import Counter
-                    cnt = Counter(str(v) for v in nn)
-                    row[name] = (max(cnt.values()) / sum(cnt.values())) if cnt else None
-                elif fn in ("count_cate", "sum_cate", "avg_cate",
-                            "min_cate", "max_cate"):
-                    acc = {}
-                    for j in fr:
-                        kk = g[extra].iloc[j]
-                        vv = g[col].iloc[j]
-                        if kk is None or (isinstance(kk, float) and np.isnan(kk)):
-                            continue
-                        if vv is None or (isinstance(vv, float) and np.isnan(vv)):
-                            continue
-                        acc.setdefault(str(kk), []).append(vv)
-                    base = fn.split("_")[0]
-                    parts = []
-                    for kk in sorted(acc):
-                        xs = acc[kk]
-                        v = {"count": len(xs), "sum": sum(xs),
-                             "avg": sum(xs) / len(xs), "min": min(xs),
-                             "max": max(xs)}[base]
-                        parts.append(f"{kk}:{_fmt(v)}")
-                    row[name] = ",".join(parts) if parts else None
-                else:
-                    raise ValueError(fn)
+            _apply_aggs(aggs, g, fr, i, row)
             rec = g.iloc[i].to_dict()
             rec.update(row)
             results.append(rec)

@@ -61,8 +61,13 @@ def case(draw):
         exclude_current_row=draw(st.booleans()) and end == 0,
         instance_not_in_window=draw(st.booleans()),
         tiebreak=("tb",),
-        peer=draw(st.sampled_from(["stream", "sql"])),
+        peer="stream",  # excludes/inst_not are stream-only semantics
     )
+    if not (spec.exclude_current_time or spec.exclude_current_row
+            or spec.instance_not_in_window):
+        spec = WindowSpecFE(**{**spec.__dict__,
+                               "peer": draw(st.sampled_from(
+                                   ["stream", "sql"]))})
     has_union = 0 in sides
     if spec.instance_not_in_window and not has_union:
         spec = WindowSpecFE(**{**spec.__dict__,
