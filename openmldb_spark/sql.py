@@ -60,7 +60,7 @@ class _Win:
 
 
 def _strip_table(ref: str) -> str:
-    ref = ref.strip()
+    ref = ref.strip().replace("`", "")
     m = re.match(r"\{\d+\}\.(\w+)$", ref)
     if m:
         return m.group(1)
@@ -69,22 +69,38 @@ def _strip_table(ref: str) -> str:
     raise UnsupportedSQL(f"column ref {ref!r}")
 
 
-def _parse_bound(txt: str, frame: str) -> tuple[int, bool]:
-    """Returns (offset, open). CURRENT ROW → (0, False)."""
+def _tbl_col(ref: str) -> tuple[int, str]:
+    """'{i}.col' -> (i, col); bare col -> (0, col)."""
+    ref = ref.strip().replace("`", "")
+    m = re.match(r"\{(\d+)\}\.(\w+)$", ref)
+    if m:
+        return int(m.group(1)), m.group(2)
+    if re.match(r"^\w+$", ref):
+        return 0, ref
+    raise UnsupportedSQL(f"column ref {ref!r}")
+
+
+def _parse_bound(txt: str, frame: str,
+                 is_end: bool = False) -> tuple[int, bool, bool]:
+    """Returns (offset, open, exclude_self). An END bound of
+    ``0 PRECEDING`` equals CURRENT ROW (inclusive — golden
+    test_window_row_range.yaml#44/#47); exclude_self is reserved for
+    future END variants and always False today."""
     t = txt.strip().lower()
     if t == "current row":
-        return 0, False
+        return 0, False, False
     m = re.match(r"^(\d+)(ms|s|m|h|d)?\s+(open\s+)?preceding$", t)
     if not m:
         raise UnsupportedSQL(f"bound {txt!r}")
     val = int(m.group(1))
     unit = m.group(2)
     is_open = bool(m.group(3))
+    excl_self = False
     if frame == "rows":
         if unit:
             raise UnsupportedSQL("unit on ROWS bound")
-        return val, is_open
-    return val * _UNITS.get(unit or "ms", 1), is_open
+        return val, is_open, excl_self
+    return val * _UNITS.get(unit or "ms", 1), is_open, excl_self
 
 
 def _parse_window(name: str, body: str) -> _Win:
@@ -104,14 +120,15 @@ def _parse_window(name: str, body: str) -> _Win:
     parts = [_strip_table(p) for p in m.group(1).split(",")]
     order = _strip_table(m.group(2))
     frame = "range" if m.group(3).lower() == "rows_range" else "rows"
-    start, open_start = _parse_bound(m.group(4), frame)
-    end, open_end = _parse_bound(m.group(5), frame)
+    start, open_start, _ = _parse_bound(m.group(4), frame)
+    end, open_end, end_excl_self = _parse_bound(m.group(5), frame,
+                                                is_end=True)
     if open_end:
         raise UnsupportedSQL("OPEN end bound")
     maxsize = int(m.group(6).split()[1]) if m.group(6) else None
     return _Win(name, parts, order, frame, start, end, open_start, maxsize,
                 exclude_current_time=bool(m.group(7)),
-                exclude_current_row=bool(m.group(8)),
+                exclude_current_row=bool(m.group(8)) or end_excl_self,
                 union_refs=union_refs,
                 instance_not_in_window=bool(m.group(9)))
 
@@ -179,7 +196,7 @@ def _parse_item(item: str) -> _Item:
 def translate(sql: str) -> tuple[list[_Item], dict[str, _Win]]:
     """Parse the restricted dialect; returns (items, windows)."""
     s = " ".join(sql.strip().rstrip(";").split())
-    m = re.match(r"(?i)^select\s+(.+?)\s+from\s+\{0\}\s*"
+    m = re.match(r"(?i)^select\s+(.+?)\s+from\s+(?:\{0\}|`?\w+`?)\s*"
                  r"(?:window\s+(.+))?$", s)
     if not m:
         raise UnsupportedSQL("not a simple windowed SELECT")
@@ -226,11 +243,94 @@ def run_windowed_sql(sql: str, tables: list[DataFrame]) -> DataFrame:
             union_dfs=union_dfs,
             instance_not_in_window=w.instance_not_in_window,
             tiebreak=(_RID,), peer="stream")
-        res = window_agg(prim, spec, aggs)
-        res = res.select(_RID, *[a.name for a in aggs])
+        # reference WindowUnion runtime quirk: SUM over an EMPTY frame
+        # of a plain between-preceding UNION window is 0
+        # (test_window.yaml#31 golden), while the same shape without
+        # union (test_window_row_range.yaml#46) and union windows with
+        # EXCLUDE CURRENT_ROW (test_current_row.yaml#18-21) keep SQL
+        # NULL; emulate the narrow 0 case with a frame-count companion
+        sum_aggs = [a for a in aggs if a.fn == "sum"] \
+            if (w.union_refs and w.end > 0
+                and not (w.exclude_current_row
+                         or w.exclude_current_time)) else []
+        frcnt = Agg(f"__frcnt_{wname}", "count", None) if sum_aggs else None
+        res = window_agg(prim, spec, aggs + ([frcnt] if frcnt else []))
+        cols = [_RID]
+        for a in aggs:
+            c = F.col(a.name)
+            if frcnt is not None and a.fn == "sum":
+                c = F.when((F.col(frcnt.name) == 0) & c.isNull(),
+                           F.lit(0)).otherwise(c).alias(a.name)
+            cols.append(c)
+        res = res.select(*cols)
         out = out.join(res, on=_RID, how="left")
     sel = []
     for it in items:
         sel.append(F.col(it.col).alias(it.alias) if it.col
                    else F.col(it.alias))
     return out.select(_RID, *sel)
+
+
+def run_lastjoin_sql(sql: str, tables: list[DataFrame]) -> DataFrame:
+    """Execute ``SELECT cols FROM {0} LAST JOIN {1} [ORDER BY {1}.c]
+    ON <equi [AND equi]* [AND {1}.t <= {0}.t]>``.
+
+    Without ORDER BY the reference takes the last match in storage order
+    (JOIN_CLAUSE.md; batch: arbitrary) — emulated deterministically with
+    the right table's insertion row-id.
+    """
+    from openmldb_spark.operators.last_join import last_join
+
+    s = " ".join(sql.strip().rstrip(";").split())
+    m = re.match(
+        r"(?i)^select\s+(.+?)\s+from\s+\{0\}\s+last\s+join\s+\{1\}\s*"
+        r"(?:order\s+by\s+(\S+)\s*)?on\s+(.+)$", s)
+    if not m:
+        raise UnsupportedSQL("not a simple LAST JOIN")
+    items = [_tbl_col(re.sub(r"(?i)\s+as\s+\w+$", "", it.strip()))
+             for it in _split_top_level(m.group(1))]
+    order_col = _strip_table(m.group(2)) if m.group(2) else None
+    left, right = tables[0], tables[1]
+
+    keys, left_ts, right_ts = [], None, None
+    for cond in re.split(r"(?i)\s+and\s+", m.group(3)):
+        mc = re.match(r"^(\S+)\s*(<=|=|==)\s*(\S+)$", cond.strip())
+        if not mc:
+            raise UnsupportedSQL(f"join condition {cond!r}")
+        lt, lc = _tbl_col(mc.group(1))
+        rt, rc = _tbl_col(mc.group(3))
+        op = mc.group(2)
+        if op in ("=", "=="):
+            if lt == rt or lc != rc:
+                raise UnsupportedSQL(f"equi cond {cond!r}")
+            keys.append(lc)
+        else:  # <=  : {1}.t <= {0}.t or reversed
+            if lt == 1 and rt == 0:
+                right_ts, left_ts = lc, rc
+            elif lt == 0 and rt == 1:
+                raise UnsupportedSQL("left <= right bound")
+            else:
+                raise UnsupportedSQL(f"cond {cond!r}")
+    if not keys:
+        raise UnsupportedSQL("no equi keys")
+
+    order_by = order_col or _RID
+    # a selected RIGHT key column must be NULL on unmatched left rows,
+    # while the join equi-key itself survives as the left value — carry
+    # a copy of each right key under a reserved name
+    right2 = right
+    for k in keys:
+        right2 = right2.withColumn(f"__rk_{k}", F.col(k))
+    out = last_join(left, right2, on=keys, order_by=order_by,
+                    left_ts=left_ts, right_ts=right_ts,
+                    strategy="join_rank", tiebreak=_RID)
+    sel = [F.col(_RID)]
+    for i_, (ti, col) in enumerate(items):
+        if ti == 0:
+            sel.append(F.col(col).alias(f"__o{i_}"))
+        elif col in keys:
+            sel.append(F.col(f"__rk_{col}").alias(f"__o{i_}"))
+        else:
+            name = col + "_r" if col in left.columns else col
+            sel.append(F.col(name).alias(f"__o{i_}"))
+    return out.select(*sel)

@@ -28,15 +28,20 @@ from pyspark.sql import types as T
 
 from openmldb_spark.sql import UnsupportedSQL, run_windowed_sql, _RID
 
-CASE_DIR = "/root/reference/cases/function/window"
+CASE_DIR = "/root/reference/cases/function"
 
 FILES = {
     # file -> minimum number of cases that must pass
-    "test_window_row_range.yaml": 25,
-    "test_window_row.yaml": 20,
-    "test_maxsize.yaml": 8,
-    "test_window_exclude_current_time.yaml": 5,   # 13 of 19 cases are offline-unsupport in the reference itself
-    "test_window_union.yaml": 5,
+    "window/test_window_row_range.yaml": 25,
+    "window/test_window_row.yaml": 20,
+    "window/test_maxsize.yaml": 8,
+    # 13 of 19 cases are offline-unsupport in the reference itself
+    "window/test_window_exclude_current_time.yaml": 5,
+    "window/test_window_union.yaml": 5,
+    "window/test_current_row.yaml": 10,
+    "window/window_attributes.yaml": 5,
+    "window/test_window.yaml": 5,
+    "join/test_lastjoin_simple.yaml": 10,
 }
 
 _TYPES = {
@@ -80,10 +85,19 @@ def _conv(value, dtype):
     return str(value)
 
 
+def _rows_of(inp):
+    if "rows" in inp:
+        return inp["rows"]
+    if "data" in inp:
+        return [[c.strip() or None for c in ln.split(",")]
+                for ln in str(inp["data"]).strip().splitlines()]
+    raise KeyError("rows")
+
+
 def _build_df(spark, inp, with_rid):
     schema = _schema(inp["columns"])
     rows = [tuple(_conv(v, f.dataType) for v, f in zip(r, schema.fields))
-            for r in inp["rows"]]
+            for r in _rows_of(inp)]
     df = spark.createDataFrame(rows, schema)
     if with_rid:
         import pandas as pd
@@ -140,7 +154,11 @@ def _run_case(spark, case) -> str:
     except Exception as e:                      # unsupported input shape
         return f"skip: inputs ({e})"
     try:
-        out = run_windowed_sql(case["sql"], tables)
+        if "last join" in " ".join(case["sql"].lower().split()):
+            from openmldb_spark.sql import run_lastjoin_sql
+            out = run_lastjoin_sql(case["sql"], tables)
+        else:
+            out = run_windowed_sql(case["sql"], tables)
     except UnsupportedSQL as e:
         return f"skip: sql ({e})"
     got = out.toPandas().sort_values(_RID).reset_index(drop=True)
@@ -170,7 +188,8 @@ def _run_case(spark, case) -> str:
         for gname, cdef, ev in zip(got_cols, exp_cols, erow):
             name = gname
             gv = got.loc[ri, gname]
-            if isinstance(gv, float) and math.isnan(gv):
+            import pandas as pd
+            if (isinstance(gv, float) and math.isnan(gv)) or gv is pd.NaT:
                 gv = None
             assert _values_match(gv, ev, cdef), (
                 f"row {ri} col {name}: got {gv!r} expected {ev!r}")
