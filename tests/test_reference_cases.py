@@ -42,6 +42,8 @@ FILES = {
     "window/window_attributes.yaml": 5,
     "window/test_window.yaml": 5,
     "join/test_lastjoin_simple.yaml": 10,
+    "cluster/test_window_row.yaml": 3,
+    "cluster/test_window_row_range.yaml": 2,
 }
 
 _TYPES = {
