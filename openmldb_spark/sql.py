@@ -260,8 +260,14 @@ def run_windowed_sql(sql: str, tables: list[DataFrame]) -> DataFrame:
             c = F.col(a.name)
             if frcnt is not None and a.fn == "sum":
                 c = F.when((F.col(frcnt.name) == 0) & c.isNull(),
-                           F.lit(0)).otherwise(c).alias(a.name)
-            cols.append(c)
+                           F.lit(0)).otherwise(c)
+            if a.fn == "sum" and a.col and a.col in prim.columns:
+                st = dict(prim.dtypes)[a.col]
+                if st in ("int", "smallint"):
+                    # reference sum(int32/int16) keeps the narrow type
+                    # and wraps (test_window.yaml#21 golden)
+                    c = _wrap_narrow(c, st)
+            cols.append(c.alias(a.name))
         res = res.select(*cols)
         out = out.join(res, on=_RID, how="left")
     sel = []
@@ -271,25 +277,141 @@ def run_windowed_sql(sql: str, tables: list[DataFrame]) -> DataFrame:
     return out.select(_RID, *sel)
 
 
-def run_lastjoin_sql(sql: str, tables: list[DataFrame]) -> DataFrame:
-    """Execute ``SELECT cols FROM {0} LAST JOIN {1} [ORDER BY {1}.c]
-    ON <equi [AND equi]* [AND {1}.t <= {0}.t]>``.
+def _wrap_narrow(c, spark_type: str):
+    """int32/int16 wraparound of a widened sum (reference keeps the
+    narrow type and wraps; ANSI cast would throw on overflow)."""
+    bits = 32 if spark_type == "int" else 16
+    half = 1 << (bits - 1)
+    full = 1 << bits
+    return (F.pmod(c + F.lit(half), F.lit(full)) - F.lit(half)) \
+        .cast(spark_type)
 
-    Without ORDER BY the reference takes the last match in storage order
-    (JOIN_CLAUSE.md; batch: arbitrary) — emulated deterministically with
-    the right table's insertion row-id.
-    """
+
+def run_lastjoin_sql(sql: str, tables: list[DataFrame]) -> DataFrame:
+    """Execute ``SELECT cols FROM {0} (LAST JOIN {i} [ORDER BY {i}.c]
+    ON <conds>)+`` — chained as-of joins (cluster/window_and_lastjoin
+    cases chain two). Conditions: same- or different-name equi keys and
+    one closed point-in-time bound per join (``{0}.t >= {i}.t2`` or
+    ``{i}.t2 <= {0}.t``). Without ORDER BY the reference takes the last
+    match in storage order — emulated with the right table's insertion
+    row-id."""
+    from openmldb_spark.operators.last_join import last_join
+
+    s = " ".join(sql.strip().rstrip(";").split())
+    m = re.match(r"(?i)^select\s+(.+?)\s+from\s+\{0\}\s+(last\s+join\s+.+)$",
+                 s)
+    if not m:
+        raise UnsupportedSQL("not a LAST JOIN select")
+    parts = re.split(r"(?i)\blast\s+join\b", " " + m.group(2))
+    joins = []
+    for part in parts[1:]:
+        mj = re.match(r"(?i)^\s*\{(\d+)\}\s*"
+                      r"(?:order\s+by\s+(\S+)\s+)?on\s+(.+?)\s*$", part)
+        if not mj:
+            raise UnsupportedSQL(f"join segment {part!r}")
+        joins.append((int(mj.group(1)), mj.group(2), mj.group(3)))
+
+    acc = tables[0]
+    resmap: dict[tuple[int, str], str] = {}
+
+    def resolve(ti: int, col: str) -> str:
+        if ti == 0:
+            return col
+        try:
+            return resmap[(ti, col)]
+        except KeyError:
+            raise UnsupportedSQL(f"unresolved ref {{{ti}}}.{col}")
+
+    for ti, order_ref, conds_text in joins:
+        if ti >= len(tables):
+            raise UnsupportedSQL(f"missing table {{{ti}}}")
+        right = tables[ti]
+        keys = []            # accumulated-side key names
+        key_src = {}         # acc key name -> original right col
+        left_ts = right_ts = None
+        for cond in re.split(r"(?i)\s+and\s+", conds_text):
+            mc = re.match(r"^(\S+)\s*(<=|>=|=|==)\s*(\S+)$", cond.strip())
+            if not mc:
+                raise UnsupportedSQL(f"join condition {cond!r}")
+            at, ac = _tbl_col(mc.group(1))
+            bt, bc = _tbl_col(mc.group(3))
+            op = mc.group(2)
+            # normalize to (acc side, right side)
+            if at == ti and bt != ti:
+                at, ac, bt, bc = bt, bc, at, ac
+                op = {"<=": ">=", ">=": "<="}.get(op, op)
+            if bt != ti or at == ti:
+                raise UnsupportedSQL(f"cond {cond!r}")
+            if op in ("=", "=="):
+                an = resolve(at, ac)
+                keys.append(an)
+                key_src[an] = bc
+            elif op == ">=":     # acc.t >= right.t2  (closed PIT bound)
+                left_ts, right_ts = resolve(at, ac), bc
+            else:
+                raise UnsupportedSQL(f"bound {cond!r}")
+        if not keys:
+            raise UnsupportedSQL("no equi keys")
+
+        # collision-free right side: every payload column carries a
+        # reserved __t{i}_ name so chained joins and same-name columns
+        # can never become ambiguous; join keys are aliased to the
+        # accumulated-side names
+        sel_r = [F.col(key_src[an]).alias(an) for an in keys]
+        sel_r += [F.col(c).alias(f"__t{ti}_{c}")
+                  for c in tables[ti].columns if c != _RID]
+        if _RID in right.columns:
+            sel_r.append(F.col(_RID).alias(f"__jrid{ti}"))
+        right2 = right.select(*sel_r)
+        if right_ts is not None:
+            right_ts = f"__t{ti}_{right_ts}"
+        order_by = f"__t{ti}_{_strip_table(order_ref)}" if order_ref \
+            else f"__jrid{ti}"
+        acc = last_join(acc, right2, on=keys, order_by=order_by,
+                        left_ts=left_ts, right_ts=right_ts,
+                        strategy="join_rank", tiebreak=f"__jrid{ti}")
+        for c in tables[ti].columns:
+            if c != _RID:
+                resmap[(ti, c)] = f"__t{ti}_{c}"
+
+    def resolve_any(ref: str) -> str:
+        ti, col = _tbl_col(ref)
+        if re.match(r"\{\d+\}\.", ref.strip()):
+            return resolve(ti, col)
+        # bare name: first table owning it, in join order
+        if col in tables[0].columns:
+            return col
+        for tj, _, _ in joins:
+            if col in tables[tj].columns:
+                return resolve(tj, col)
+        raise UnsupportedSQL(f"unknown column {col!r}")
+
+    sel = [F.col(_RID)]
+    for i_, raw in enumerate(_split_top_level(m.group(1))):
+        it = " ".join(raw.split())
+        mo = re.match(r"(?i)^(\S+)(?:\s+as\s+(\w+))?$", it)
+        if not mo:
+            raise UnsupportedSQL(f"select item {it!r}")
+        sel.append(F.col(resolve_any(mo.group(1))).alias(f"__o{i_}"))
+    return acc.select(*sel)
+
+
+def run_join_window_sql(sql: str, tables: list[DataFrame]) -> DataFrame:
+    """Composite ``SELECT ... FROM {0} LAST JOIN {1} [ORDER BY {1}.o]
+    ON <equis> WINDOW w AS (PARTITION BY ... ORDER BY ... frame)`` —
+    the reference's flagship shape (join/test_lastjoin_complex.yaml,
+    cluster/window_and_lastjoin.yaml): as-of join first, then per-row
+    windows over the JOINED relation (window columns may come from
+    either side). UNION windows over the joined schema are out of
+    scope here."""
     from openmldb_spark.operators.last_join import last_join
 
     s = " ".join(sql.strip().rstrip(";").split())
     m = re.match(
         r"(?i)^select\s+(.+?)\s+from\s+\{0\}\s+last\s+join\s+\{1\}\s*"
-        r"(?:order\s+by\s+(\S+)\s*)?on\s+(.+)$", s)
+        r"(?:order\s+by\s+(\S+)\s*)?on\s+(.+?)\s+window\s+(.+)$", s)
     if not m:
-        raise UnsupportedSQL("not a simple LAST JOIN")
-    items = [_tbl_col(re.sub(r"(?i)\s+as\s+\w+$", "", it.strip()))
-             for it in _split_top_level(m.group(1))]
-    order_col = _strip_table(m.group(2)) if m.group(2) else None
+        raise UnsupportedSQL("not a LAST JOIN + WINDOW composite")
     left, right = tables[0], tables[1]
 
     keys, left_ts, right_ts = [], None, None
@@ -299,38 +421,104 @@ def run_lastjoin_sql(sql: str, tables: list[DataFrame]) -> DataFrame:
             raise UnsupportedSQL(f"join condition {cond!r}")
         lt, lc = _tbl_col(mc.group(1))
         rt, rc = _tbl_col(mc.group(3))
-        op = mc.group(2)
-        if op in ("=", "=="):
-            if lt == rt or lc != rc:
+        if mc.group(2) in ("=", "=="):
+            if lt == rt:
                 raise UnsupportedSQL(f"equi cond {cond!r}")
+            if lc != rc:
+                # differing names: align by renaming the right key
+                right = right.withColumnRenamed(rc, lc)
             keys.append(lc)
-        else:  # <=  : {1}.t <= {0}.t or reversed
+        else:
             if lt == 1 and rt == 0:
                 right_ts, left_ts = lc, rc
-            elif lt == 0 and rt == 1:
-                raise UnsupportedSQL("left <= right bound")
             else:
                 raise UnsupportedSQL(f"cond {cond!r}")
     if not keys:
         raise UnsupportedSQL("no equi keys")
-
-    order_by = order_col or _RID
-    # a selected RIGHT key column must be NULL on unmatched left rows,
-    # while the join equi-key itself survives as the left value — carry
-    # a copy of each right key under a reserved name
     right2 = right
     for k in keys:
         right2 = right2.withColumn(f"__rk_{k}", F.col(k))
-    out = last_join(left, right2, on=keys, order_by=order_by,
-                    left_ts=left_ts, right_ts=right_ts,
-                    strategy="join_rank", tiebreak=_RID)
-    sel = [F.col(_RID)]
-    for i_, (ti, col) in enumerate(items):
+    # keep the right rid under a reserved name: storage-order fallback
+    # and deterministic tie-break
+    if _RID in right2.columns:
+        right2 = right2.withColumnRenamed(_RID, "__r_rid")
+    jorder = _strip_table(m.group(2)) if m.group(2) else "__r_rid"
+    joined = last_join(left, right2, on=keys, order_by=jorder,
+                       left_ts=left_ts, right_ts=right_ts,
+                       strategy="join_rank", tiebreak="__r_rid")
+
+    def resolve(ref: str) -> str:
+        ti, col = _tbl_col(ref)
         if ti == 0:
-            sel.append(F.col(col).alias(f"__o{i_}"))
-        elif col in keys:
-            sel.append(F.col(f"__rk_{col}").alias(f"__o{i_}"))
+            return col
+        if col in keys:
+            return f"__rk_{col}"
+        return col + "_r" if col in left.columns else col
+
+    # parse select items with table-qualified resolution
+    items = []
+    for raw in _split_top_level(m.group(1)):
+        it = " ".join(raw.split())
+        mo = re.match(r"(?i)^(.*?)\s+over\s+(\w+)(?:\s+as\s+(\w+))?$", it)
+        if mo:
+            mc2 = re.match(r"(?i)^(\w+)\s*\(\s*(.*?)\s*\)$",
+                           mo.group(1).strip())
+            if not mc2 or mc2.group(1).lower() not in _AGG_FNS:
+                raise UnsupportedSQL(f"agg call {mo.group(1)!r}")
+            fn = mc2.group(1).lower()
+            fn = "lag" if fn == "at" else fn
+            args = [a.strip() for a in _split_top_level(mc2.group(2))] \
+                if mc2.group(2) else []
+            col = resolve(args[0]) if args and args[0] != "*" else None
+            n = int(args[1]) if len(args) > 1 and fn in (
+                "lag", "top", "topn_frequency") else None
+            alias = mo.group(3) or f"{fn}_{col}"
+            items.append(_Item(alias=alias, agg=Agg(alias, fn, col, n=n),
+                               win=mo.group(2)))
         else:
-            name = col + "_r" if col in left.columns else col
-            sel.append(F.col(name).alias(f"__o{i_}"))
+            mo2 = re.match(r"(?i)^(\S+)(?:\s+as\s+(\w+))?$", it)
+            if not mo2:
+                raise UnsupportedSQL(f"select item {it!r}")
+            col = resolve(mo2.group(1))
+            items.append(_Item(alias=mo2.group(2) or col, col=col))
+
+    wins: dict[str, _Win] = {}
+    for wdef in _split_top_level(m.group(4)):
+        mw = re.match(r"(?i)^\s*(\w+)\s+as\s*\((.*)\)\s*$", wdef.strip())
+        if not mw:
+            raise UnsupportedSQL(f"window def {wdef!r}")
+        # resolve table-qualified refs to joined column names BEFORE
+        # parsing so {1}.c7 becomes c7_r etc.
+        body = re.sub(r"\{\d+\}\.\w+", lambda mm: resolve(mm.group(0)),
+                      mw.group(2))
+        if re.search(r"(?i)union\s+\{", body):
+            raise UnsupportedSQL("UNION window over joined relation")
+        wins[mw.group(1)] = _parse_window(mw.group(1), body)
+
+    out = joined
+    for wname, w in wins.items():
+        aggs = [it.agg for it in items if it.win == wname]
+        if not aggs:
+            continue
+        spec = WindowSpecFE(
+            w.partition_by,
+            w.order_by, frame=w.frame, start=w.start, end=w.end,
+            open_start=w.open_start, maxsize=w.maxsize,
+            exclude_current_time=w.exclude_current_time,
+            exclude_current_row=w.exclude_current_row,
+            tiebreak=(_RID,), peer="stream")
+        res = window_agg(joined, spec, aggs)
+        sel2 = [F.col(_RID)]
+        for a in aggs:
+            c = F.col(a.name)
+            if a.fn == "sum" and a.col and a.col in dict(joined.dtypes):
+                st = dict(joined.dtypes)[a.col]
+                if st in ("int", "smallint"):
+                    c = _wrap_narrow(c, st)
+            sel2.append(c.alias(a.name))
+        res = res.select(*sel2)
+        out = out.join(res, on=_RID, how="left")
+    sel = [F.col(_RID)]
+    for i_, it in enumerate(items):
+        sel.append(F.col(it.col if it.col else it.alias).alias(f"__o{i_}"))
     return out.select(*sel)

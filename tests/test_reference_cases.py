@@ -44,6 +44,8 @@ FILES = {
     "join/test_lastjoin_simple.yaml": 10,
     "cluster/test_window_row.yaml": 3,
     "cluster/test_window_row_range.yaml": 2,
+    "join/test_lastjoin_complex.yaml": 4,  # rest are subquery/GROUP BY shapes outside the front-end subset
+    "cluster/window_and_lastjoin.yaml": 2,
 }
 
 _TYPES = {
@@ -155,12 +157,40 @@ def _run_case(spark, case) -> str:
                   for inp in case["inputs"]]
     except Exception as e:                      # unsupported input shape
         return f"skip: inputs ({e})"
+
+    # dataProvider: d[0] placeholder iterates variants; expectProvider
+    # overrides the expected rows per variant index
+    dp = case.get("dataProvider")
+    if dp:
+        if len(dp) != 1 or "d[1]" in case["sql"]:
+            return "skip: multi-dim dataProvider"
+        ep = case.get("expectProvider") or {}
+        for vi, variant in enumerate(dp[0]):
+            sql_v = case["sql"].replace("d[0]", str(variant))
+            exp_v = dict(expect)
+            over = ep.get(vi, ep.get(str(vi)))
+            if over:
+                exp_v.update(over)
+            if "rows" not in exp_v or "columns" not in exp_v:
+                return "skip: provider without golden rows"
+            res = _exec_sql_case(spark, sql_v, tables, exp_v)
+            if res != "pass":
+                return res
+        return "pass"
+    return _exec_sql_case(spark, case["sql"], tables, expect)
+
+
+def _exec_sql_case(spark, sql, tables, expect) -> str:
     try:
-        if "last join" in " ".join(case["sql"].lower().split()):
+        low = " ".join(sql.lower().split())
+        if "last join" in low and " window " in low:
+            from openmldb_spark.sql import run_join_window_sql
+            out = run_join_window_sql(sql, tables)
+        elif "last join" in low:
             from openmldb_spark.sql import run_lastjoin_sql
-            out = run_lastjoin_sql(case["sql"], tables)
+            out = run_lastjoin_sql(sql, tables)
         else:
-            out = run_windowed_sql(case["sql"], tables)
+            out = run_windowed_sql(sql, tables)
     except UnsupportedSQL as e:
         return f"skip: sql ({e})"
     got = out.toPandas().sort_values(_RID).reset_index(drop=True)
@@ -191,7 +221,7 @@ def _run_case(spark, case) -> str:
             name = gname
             gv = got.loc[ri, gname]
             import pandas as pd
-            if (isinstance(gv, float) and math.isnan(gv)) or gv is pd.NaT:
+            if not isinstance(gv, (list, np.ndarray)) and pd.isna(gv):
                 gv = None
             assert _values_match(gv, ev, cdef), (
                 f"row {ri} col {name}: got {gv!r} expected {ev!r}")
