@@ -297,8 +297,8 @@ def _make_kernel(spec: WindowSpecFE, aggs: list[Agg], out_cols: list[str],
             hi = np.minimum(hi, idx)          # stream peers: only seen rows
         hi = np.minimum(hi, m - 1)
         # frame decomposition: contiguous [lo, chi] + optional self row
+        first_peer = np.searchsorted(ts, ts, side="left") if ex_time else None
         if ex_time and end == 0:
-            first_peer = np.searchsorted(ts, ts, side="left")
             chi = np.minimum(hi, first_peer - 1)
             self_in = not ex_row
         elif ex_row and end == 0:
@@ -306,6 +306,13 @@ def _make_kernel(spec: WindowSpecFE, aggs: list[Agg], out_cols: list[str],
             self_in = False
         else:
             chi = hi.copy()
+            if ex_time:
+                # end > 0: same-current-time rows never enter the buffer
+                # (BufferCurrentTimeBuffer holds them out while ts equals
+                # the current ts), so e PRECEDING counts over strictly
+                # earlier-ts rows only — matches tests/oracle.py for any
+                # end (ADVICE r1 #2)
+                chi = np.minimum(chi, first_peer - 1)
             self_in = False  # self is inside [lo, chi] when end==0
         # when self is carved out separately, remove it from contiguous part
         sep_self = (ex_time or ex_row) and end == 0
@@ -399,12 +406,19 @@ def _make_kernel(spec: WindowSpecFE, aggs: list[Agg], out_cols: list[str],
                 out[name] = v.to_numpy()
                 continue
             if fn == "first_value":
-                # newest frame row: self when included, else the row at chi
+                # newest frame row: self when included, else the newest
+                # VISIBLE row in [lo, chi] — under INSTANCE_NOT_IN_WINDOW
+                # chi can point at a masked-out primary row, so walk back
+                # to the last mask-true index (ADVICE r1 #3)
                 v = np.asarray(arr[col], dtype=object)
                 if self_add:
                     out[name] = v
                 else:
-                    res = np.where(~empty, v[np.clip(chi, 0, m - 1)], None)
+                    last_vis = np.maximum.accumulate(
+                        np.where(mask, idx, -1))
+                    nv = last_vis[np.clip(chi, 0, m - 1)]
+                    valid = (~empty) & (nv >= lo)
+                    res = np.where(valid, v[np.clip(nv, 0, m - 1)], None)
                     out[name] = np.asarray(res, dtype=object)
                 continue
             if fn in ("count", "count_where"):
@@ -603,41 +617,58 @@ def multi_window_agg(df: DataFrame,
             or any(a.fn not in _NATIVE_FNS for a in aggs) or spec.union_dfs
         (kernel if needs else native).append((spec, aggs))
 
-    out = df
+    # kernel-path results are zipped back by an explicit row id bound
+    # BEFORE the fan-out (the reference binds its concat-join row id at
+    # the plans' lowest common ancestor, SparkPlanner.scala:100-220):
+    # joining on (partition, order, tiebreak) silently multiplies rows
+    # under duplicate key tuples (ADVICE r1 #5). The id also joins the
+    # kernel tiebreak so the per-group sort is a total order.
+    rid = "__omls_rid"
+    base = df.withColumn(rid, F.monotonically_increasing_id()) \
+        if kernel else df
+
+    out = base
     if native:
         d = out
         cols = [F.col(c) for c in out.columns]
-        for spec, aggs in native:
-            d2, w, w_unb = _spark_window(d, spec)
-            d = d2
+        for i, (spec, aggs) in enumerate(native):
+            # one ord column PER spec: the Window objects reference their
+            # order column lazily, so a shared name would make every
+            # window resolve the last spec's key (ADVICE r1 #1)
+            d, w, w_unb = _spark_window(d, spec, ord_name=f"{_ORD}_{i}")
             cols += [_native_expr(a, w, w_unb).alias(a.name) for a in aggs]
         # one select: N window specs, Catalyst shares compatible exchanges
         out = d.select(*cols)
     for spec, aggs in kernel:
-        res = window_agg(df, spec, aggs, skew=skew)
-        # concat-join: zip by the caller-pinned total order
-        key_cols = list(spec.partition_by) + [spec.order_by] + \
-            list(spec.tiebreak)
-        res = res.select(*key_cols, *[a.name for a in aggs])
-        out = out.join(res, on=key_cols, how="left")
-    return out
+        spec2 = WindowSpecFE(**{
+            **spec.__dict__,
+            "union_dfs": tuple(
+                u.withColumn(rid, F.monotonically_increasing_id())
+                for u in spec.union_dfs),
+            "tiebreak": list(spec.tiebreak) + [rid]})
+        res = window_agg(base, spec2, aggs, skew=skew)
+        res = res.select(rid, *[a.name for a in aggs])
+        # NULL-order-key rows are dropped inside window_agg (reference
+        # semantics) and therefore come back with NULL aggs here
+        out = out.join(res, on=rid, how="left")
+    return out.drop(rid) if kernel else out
 
 
-def _spark_window(df: DataFrame, spec: WindowSpecFE):
+def _spark_window(df: DataFrame, spec: WindowSpecFE, ord_name: str = _ORD):
     ordc = _ord_ms(df, spec.order_by)
-    d = df.withColumn(_ORD, ordc)
+    d = df.withColumn(ord_name, ordc)
     if spec.frame == "rows":
         w = (Window.partitionBy(*spec.partition_by)
-             .orderBy(F.col(_ORD).asc(), *[F.col(c).asc() for c in spec.tiebreak])
+             .orderBy(F.col(ord_name).asc(), *[F.col(c).asc() for c in spec.tiebreak])
              .rowsBetween(-(spec.start - (1 if spec.open_start else 0)),
                           -spec.end))
     else:
         start = spec.start - (1 if spec.open_start else 0)
         w = (Window.partitionBy(*spec.partition_by)
-             .orderBy(F.col(_ORD).asc())
+             .orderBy(F.col(ord_name).asc())
              .rangeBetween(-start, -spec.end))
     w_unb = (Window.partitionBy(*spec.partition_by)
-             .orderBy(F.col(_ORD).asc(), *[F.col(c).asc() for c in spec.tiebreak]))
+             .orderBy(F.col(ord_name).asc(), *[F.col(c).asc() for c in spec.tiebreak]))
     return d, w, w_unb
 
 

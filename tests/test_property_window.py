@@ -21,6 +21,7 @@ AGGS = [
     Agg("a_avg", "avg", "v"),
     Agg("a_dc", "distinct_count", "v"),
     Agg("a_cw", "count_where", "v", cond="flag"),
+    Agg("a_fv", "first_value", "v"),
 ]
 ORACLE_AGGS = [
     ("a_cnt", "count", "v"),
@@ -30,10 +31,11 @@ ORACLE_AGGS = [
     ("a_avg", "avg", "v"),
     ("a_dc", "distinct_count", "v"),
     ("a_cw", "count_where", "v", lambda r: bool(r["flag"])),
+    ("a_fv", "first_value", "v"),
 ]
 DTYPES = {"a_cnt": "bigint", "a_sum": "double", "a_min": "double",
           "a_max": "double", "a_avg": "double", "a_dc": "bigint",
-          "a_cw": "bigint"}
+          "a_cw": "bigint", "a_fv": "double"}
 
 
 @st.composite
@@ -57,8 +59,8 @@ def case(draw):
         ["k"], "ts", frame=frame, start=start, end=end,
         open_start=open_start,
         maxsize=draw(st.one_of(st.none(), st.integers(1, 4))),
-        exclude_current_time=draw(st.booleans()) and end == 0,
-        exclude_current_row=draw(st.booleans()) and end == 0,
+        exclude_current_time=draw(st.booleans()),
+        exclude_current_row=draw(st.booleans()),
         instance_not_in_window=draw(st.booleans()),
         tiebreak=("tb",),
         peer="stream",  # excludes/inst_not are stream-only semantics

@@ -92,3 +92,48 @@ def test_multi_window_mixed_native_kernel(tdf):
     assert a.c_max3[10] == 3          # maxsize caps the 11-row range frame
     assert a.c_max3[1] == 2
     assert len(out) == 40             # concat-join kept one row per input
+
+
+def test_multi_window_distinct_order_keys(tdf):
+    """Regression (ADVICE r1 #1): two native windows with DIFFERENT order
+    columns must not resolve to the last spec's key."""
+    from openmldb_spark import Agg, WindowSpecFE, multi_window_agg, window_agg
+
+    rev = tdf.withColumn("ts2_ms", F.lit(2_000_000_000_000) - F.col("ts_ms"))
+    w1 = WindowSpecFE(["k"], "ts_ms", frame="rows", start=2, end=0,
+                      tiebreak=("i",))
+    w2 = WindowSpecFE(["k"], "ts2_ms", frame="rows", start=2, end=0,
+                      tiebreak=("i",))
+    out = multi_window_agg(rev, [
+        (w1, [Agg("s_fwd", "sum", "v")]),
+        (w2, [Agg("s_rev", "sum", "v")]),
+    ]).toPandas().sort_values(["k", "i"]).reset_index(drop=True)
+    solo1 = window_agg(rev, w1, [Agg("s_fwd", "sum", "v")]) \
+        .toPandas().sort_values(["k", "i"]).reset_index(drop=True)
+    solo2 = window_agg(rev, w2, [Agg("s_rev", "sum", "v")]) \
+        .toPandas().sort_values(["k", "i"]).reset_index(drop=True)
+    assert out.s_fwd.tolist() == solo1.s_fwd.tolist()
+    assert out.s_rev.tolist() == solo2.s_rev.tolist()
+    a = out[out.k == "a"].reset_index(drop=True)
+    assert a.s_fwd[19] == 17.0 + 18.0 + 19.0   # forward order
+    assert a.s_rev[19] == 19.0                 # reversed order: newest first
+
+
+def test_multi_window_kernel_duplicate_keys(spark):
+    """Regression (ADVICE r1 #5): duplicate (key, order, tiebreak) tuples
+    must not multiply rows through the kernel concat-join."""
+    from openmldb_spark import Agg, WindowSpecFE, multi_window_agg
+
+    rows = [("a", 1000, 1.0), ("a", 1000, 2.0), ("a", 1000, 3.0),
+            ("a", 2000, 4.0), ("b", 1000, 5.0)]
+    df = spark.createDataFrame(rows, "k: string, ts_ms: long, v: double")
+    w1 = WindowSpecFE(["k"], "ts_ms", frame="rows", start=1, end=0)
+    w2 = WindowSpecFE(["k"], "ts_ms", frame="range", start=5000, end=0,
+                      maxsize=2)
+    out = multi_window_agg(df, [
+        (w1, [Agg("s2", "sum", "v")]),
+        (w2, [Agg("cm", "count", "v")]),
+    ]).toPandas()
+    assert len(out) == 5                      # no row multiplication
+    assert set(out.columns) >= {"k", "ts_ms", "v", "s2", "cm"}
+    assert (out[out.k == "a"].cm <= 2).all()  # maxsize respected
