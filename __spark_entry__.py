@@ -509,10 +509,18 @@ def q_lsh_topk(spark, sf_dir):
 
 
 def q_media_features(spark, sf_dir):
+    """Media plumbing with scalar outputs: the driver's canonicalizer
+    can't sort array columns, so the 8 pseudo-features are flattened to
+    f0..f7 doubles (the fake decoder is sha256-derived — DuckDB
+    reproduces it exactly, see _media_oracle_sql)."""
     from openmldb_spark.pipeline.multimodal import extract_media_features
     docs = _t(spark, sf_dir, "documents").select(
         "doc_id", F.encode("text", "utf-8").alias("payload"))
-    return extract_media_features(docs, "doc_id", "payload", n_features=8)
+    feat = extract_media_features(docs, "doc_id", "payload", n_features=8)
+    return feat.select(
+        "doc_id", "n_bytes",
+        *[_r4(F.col("features")[i].cast("double")).alias(f"f{i}")
+          for i in range(8)])
 
 
 # ---------------------------------------------------------------------------
@@ -558,6 +566,180 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_topk": q_lsh_topk,
         "media_features": q_media_features,
     }
+
+
+# ---------------------------------------------------------------------------
+# Hash-pipeline oracle builders: the engine's minhash / simhash / fake-
+# media-decode / hyperplane-LSH pipelines are pure deterministic integer
+# (or seeded-double) arithmetic, so DuckDB reproduces them EXACTLY —
+# splitmix64-derived permutation params and plane coefficients are
+# inlined as literals, FNV-1a runs as a HUGEINT list_reduce fold, and
+# sha256 is byte-identical across both engines.
+
+
+def _minhash_sig_ctes() -> str:
+    """CTEs computing the engine's exact minhash signatures: base-257
+    rolling polynomial over the normalized text's bytes (ASCII corpus:
+    ord == byte), mod 2^31-1, then 64 affine permutation minima with the
+    same splitmix64-seeded (a, b) params as the Arrow kernel."""
+    from openmldb_spark.pipeline.dedup import _hash_params
+    params = _hash_params(64, 42)
+    a_lit = "[" + ",".join(str(a) for a, _ in params) + "]"
+    b_lit = "[" + ",".join(str(b) for _, b in params) + "]"
+    pows = [257 ** j for j in range(5)]
+    poly = " + ".join(f"{pows[j]} * ord(substr(t, CAST(i+{j} AS INT), 1))"
+                      for j in range(5))
+    short = ("COALESCE(NULLIF(list_sum(list_transform(range(1, strlen(t)+1),"
+             " i -> ord(substr(t, CAST(i AS INT), 1))"
+             " * (1::BIGINT << CAST(8*(i-1) AS INT)))), 0), 1)")
+    return f"""
+nt AS (
+  SELECT doc_id, regexp_replace(lower(text), '\\s+', ' ', 'g') AS t
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+    CASE WHEN strlen(t) >= 5 THEN
+      list_transform(range(1, strlen(t) - 3), i -> ({poly}) % 2147483647)
+    ELSE [ {short} % 2147483647 ] END AS hs
+  FROM nt
+),
+shr AS (SELECT DISTINCT doc_id, unnest(hs) AS h FROM sh),
+par AS (SELECT unnest(range(0, 64)) AS hi),
+par2 AS (SELECT hi, ({a_lit})[CAST(hi+1 AS INT)] AS a,
+                ({b_lit})[CAST(hi+1 AS INT)] AS b FROM par),
+mins AS (SELECT s.doc_id, p.hi, min((s.h * p.a + p.b) % 2147483647) AS mn
+         FROM shr s CROSS JOIN par2 p GROUP BY s.doc_id, p.hi),
+sg AS (SELECT doc_id, list(mn ORDER BY hi) AS sig FROM mins GROUP BY doc_id)
+"""
+
+
+def _minhash_oracle_sql() -> str:
+    """Candidate = same 4-slot signature slice in some band (what the
+    engine's band-hash equality stands for), est_jaccard = agreeing
+    slots / 64, threshold 0.5."""
+    return f"""
+WITH {_minhash_sig_ctes()},
+pr AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         len(list_filter(range(0,64),
+             i -> a.sig[CAST(i+1 AS INT)] = b.sig[CAST(i+1 AS INT)])) AS agree,
+         len(list_filter(range(0,16),
+             g -> a.sig[CAST(4*g+1 AS INT)] = b.sig[CAST(4*g+1 AS INT)]
+              AND a.sig[CAST(4*g+2 AS INT)] = b.sig[CAST(4*g+2 AS INT)]
+              AND a.sig[CAST(4*g+3 AS INT)] = b.sig[CAST(4*g+3 AS INT)]
+              AND a.sig[CAST(4*g+4 AS INT)] = b.sig[CAST(4*g+4 AS INT)])) AS nbands
+  FROM sg a JOIN sg b ON a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, ROUND(CAST(agree AS DOUBLE)/64 + 0.000001, 4) AS est_jaccard
+FROM pr WHERE nbands > 0 AND CAST(agree AS DOUBLE)/64 >= 0.5
+"""
+
+
+def _simhash_oracle_sql() -> str:
+    """FNV-1a 64 per whitespace token as a HUGEINT left fold, per-bit
+    majority vote, signature reassembled and cast to signed int64."""
+    return """
+WITH tk AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                             x -> x <> '') AS toks
+  FROM documents
+),
+tok_rows AS (SELECT doc_id, unnest(toks) AS tok FROM tk),
+tok_h AS (
+  SELECT doc_id, list_reduce(
+    list_prepend(14695981039346656037::HUGEINT,
+      list_transform(range(1, strlen(tok)+1),
+                     i -> ord(substr(tok, CAST(i AS INT), 1))::HUGEINT)),
+    (h, b) -> (xor(h, b) * 1099511628211::HUGEINT)
+              % 18446744073709551616::HUGEINT) AS h
+  FROM tok_rows
+),
+bits AS (SELECT unnest(range(0, 64)) AS bit),
+votes AS (
+  SELECT t.doc_id, b.bit,
+         sum(CASE WHEN (t.h >> CAST(b.bit AS INT)) & 1::HUGEINT = 1::HUGEINT
+                  THEN 1 ELSE -1 END) AS vote
+  FROM tok_h t CROSS JOIN bits b GROUP BY t.doc_id, b.bit
+),
+sg AS (
+  SELECT doc_id,
+         sum(CASE WHEN vote > 0 THEN (1::HUGEINT << CAST(bit AS INT))
+                  ELSE 0::HUGEINT END) AS sig
+  FROM votes GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(CASE WHEN COALESCE(sg.sig, 0::HUGEINT) >= 9223372036854775808::HUGEINT
+                 THEN COALESCE(sg.sig, 0::HUGEINT) - 18446744073709551616::HUGEINT
+                 ELSE COALESCE(sg.sig, 0::HUGEINT) END AS BIGINT) AS simhash
+FROM documents d LEFT JOIN sg ON d.doc_id = sg.doc_id
+"""
+
+
+def _media_oracle_sql() -> str:
+    """sha256(text-bytes) digest repeated to 32 bytes, read as 8
+    little-endian uint32s, /2^32-1 as double, cast float32 — exactly
+    multimodal._fake_decode."""
+    def hexbyte(j):
+        return (f"(16*(strpos('0123456789abcdef', substr(hx, {2*j+1}, 1))-1)"
+                f" + (strpos('0123456789abcdef', substr(hx, {2*j+2}, 1))-1))")
+    feats = []
+    for i in range(8):
+        u32 = " + ".join(f"{256**b} * {hexbyte(4*i+b)}" for b in range(4))
+        feats.append(f"ROUND(CAST(CAST(CAST(({u32}) AS DOUBLE)/4294967295"
+                     f" AS REAL) AS DOUBLE) + 0.000001, 4) AS f{i}")
+    return f"""
+WITH h AS (SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
+                  sha256(text) AS hx FROM documents)
+SELECT doc_id, n_bytes, {", ".join(feats)} FROM h
+"""
+
+
+def _lsh_topk_oracle_sql() -> str:
+    """Hyperplane buckets with the kernel's splitmix64-derived plane
+    matrix inlined as double literals; the dot product is a sequential
+    left fold over dimensions in BOTH engines so the sign bit matches
+    exactly; multiprobe = own bucket + every 1-bit flip."""
+    from openmldb_spark.pipeline.similarity import plane_matrix
+    pm = plane_matrix(4, 64, 42)
+    dots = []
+    for p in range(4):
+        lit = "[" + ",".join(repr(float(x)) for x in pm[p]) + "]"
+        dots.append(
+            f"list_reduce(list_transform(range(1, 65), i -> "
+            f"CAST(embedding[CAST(i AS INT)] AS DOUBLE) * "
+            f"({lit})[CAST(i AS INT)]), (x, y) -> x + y) AS d{p}")
+    return f"""
+WITH base AS (SELECT vec_id, embedding, {", ".join(dots)} FROM embeddings),
+bt AS (SELECT vec_id, embedding,
+       (CASE WHEN d0>0 THEN 1 ELSE 0 END + CASE WHEN d1>0 THEN 2 ELSE 0 END
+      + CASE WHEN d2>0 THEN 4 ELSE 0 END + CASE WHEN d3>0 THEN 8 ELSE 0 END)
+       AS bucket
+       FROM base),
+q AS (SELECT vec_id AS query_id, embedding AS qe, bucket AS qb
+      FROM bt WHERE vec_id < 10),
+probes AS (SELECT query_id, qe,
+           unnest([qb, xor(qb,1), xor(qb,2), xor(qb,4), xor(qb,8)]) AS bucket
+           FROM q),
+cand AS (SELECT p.query_id, p.qe, c.vec_id AS neighbor_id, c.embedding AS ce
+         FROM probes p JOIN bt c USING (bucket)
+         WHERE c.vec_id <> p.query_id),
+scored AS (
+  SELECT query_id, neighbor_id,
+    list_sum(list_transform(generate_series(1, len(qe)),
+      i -> CAST(qe[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)))
+    / (sqrt(list_sum(list_transform(qe, v -> CAST(v AS DOUBLE)*CAST(v AS DOUBLE))))
+       * sqrt(list_sum(list_transform(ce, v -> CAST(v AS DOUBLE)*CAST(v AS DOUBLE)))))
+    AS cosine
+  FROM cand)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank,
+       ROUND(cosine + 0.000001, 4) AS cosine
+FROM (SELECT query_id, neighbor_id, cosine,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM scored)
+WHERE rank <= 5
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -921,8 +1103,10 @@ FROM (SELECT query_id, neighbor_id, cosine,
       FROM scored)
 WHERE rank <= 5
 """,
-        # minhash_pairs / simhash / lsh_topk / media_features rely on
-        # xxhash64 / sha256 — not reproducible in DuckDB → rows-only check.
+        "minhash_pairs": _minhash_oracle_sql(),
+        "simhash": _simhash_oracle_sql(),
+        "media_features": _media_oracle_sql(),
+        "lsh_topk": _lsh_topk_oracle_sql(),
     }
 
 

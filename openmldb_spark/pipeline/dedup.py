@@ -132,11 +132,17 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
     rows = num_hashes // bands
+    # persist: three consumers below (band explode + two sig-joins) would
+    # otherwise each recompute the minhash kernel over the full corpus.
+    # At real scale, materialize signatures to a table instead (the
+    # harness clears the cache between queries).
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle,
-                              seed).cache()
+                              seed).persist()
+    # candidate shuffle carries ONLY (id, band, bh) — 24 bytes/row, not
+    # the 64x8-byte signature (round-1 bench regression: shipping both
+    # signatures through the band join made this the slowest query)
     banded = sigs.select(
         F.col(id_col),
-        F.col("minhash"),
         F.explode(F.array(*[
             F.struct(F.lit(b).alias("band"),
                      F.xxhash64(F.concat_ws(
@@ -145,17 +151,23 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
                      .alias("bh"))
             for b in range(bands)
         ])).alias("bb"),
-    ).select(id_col, "minhash", "bb.band", "bb.bh")
+    ).select(id_col, "bb.band", "bb.bh")
     a = banded.alias("a")
     b = banded.alias("b")
     pairs = (a.join(b, (F.col("a.band") == F.col("b.band"))
                     & (F.col("a.bh") == F.col("b.bh"))
                     & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
              .select(F.col(f"a.{id_col}").alias("id_a"),
-                     F.col(f"b.{id_col}").alias("id_b"),
-                     F.col("a.minhash").alias("mh_a"),
-                     F.col("b.minhash").alias("mh_b"))
+                     F.col(f"b.{id_col}").alias("id_b"))
              .dropDuplicates(["id_a", "id_b"]))
+    # join signatures back by id for the agreement count: the candidate
+    # set is tiny vs the corpus, so AQE broadcasts it and the signature
+    # table streams — signatures cross the wire once per matched id only
+    pairs = (pairs
+             .join(sigs.select(F.col(id_col).alias("id_a"),
+                               F.col("minhash").alias("mh_a")), "id_a")
+             .join(sigs.select(F.col(id_col).alias("id_b"),
+                               F.col("minhash").alias("mh_b")), "id_b"))
     agree = F.size(F.filter(F.zip_with("mh_a", "mh_b",
                                        lambda x, y: x == y),
                             lambda v: v))
@@ -239,18 +251,22 @@ def embedding_near_dup_pairs(df: DataFrame, vec_col: str = "embedding",
     bucket pairs → exact cosine filter. Returns (id_a, id_b, cosine).
 
     Hyperplanes are derived deterministically from (seed, plane, dim) via
-    xxhash64 — no RNG, reproducible across runs/executors.
+    splitmix64 — no RNG, reproducible across runs/executors; bucketing
+    and scoring run in Arrow kernels (see similarity.py).
     """
-    from openmldb_spark.pipeline.similarity import _cosine, _hyperplane_bucket
+    from openmldb_spark.pipeline.similarity import (
+        cosine_pairs_udf, hyperplane_bucket_udf)
 
+    bk = hyperplane_bucket_udf(num_planes, seed)
     tagged = df.select(
         F.col(id_col), F.col(vec_col),
-        _hyperplane_bucket(F.col(vec_col), num_planes, seed).alias("bucket"))
+        bk(F.col(vec_col)).alias("bucket"))
     a, b = tagged.alias("a"), tagged.alias("b")
+    cos = cosine_pairs_udf()
     pairs = (a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
                     & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
              .select(F.col(f"a.{id_col}").alias("id_a"),
                      F.col(f"b.{id_col}").alias("id_b"),
-                     _cosine(F.col(f"a.{vec_col}"),
-                             F.col(f"b.{vec_col}")).alias("cosine")))
+                     cos(F.col(f"a.{vec_col}"),
+                         F.col(f"b.{vec_col}")).alias("cosine")))
     return pairs.filter(F.col("cosine") >= threshold)

@@ -105,30 +105,73 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int,
             .select("query_id", "neighbor_id", "rank", "cosine"))
 
 
-def _hyperplane_bucket(vec: Column, num_planes: int, seed: int) -> Column:
-    """Deterministic random-hyperplane signature (int bucket id).
+_M64 = 0xFFFFFFFFFFFFFFFF
 
-    Plane coefficients come from xxhash64(seed, plane, dim-index) mapped
-    to [-1, 1) — identical on every executor, no RNG state.
-    """
-    def coeff(p: int):
-        # single-arg closure (PySpark HOF lambdas must not carry bound
-        # defaults — arity selects the (element, index) overload)
-        return lambda j: (
-            (F.xxhash64(F.concat_ws("_", F.lit(seed), F.lit(p),
-                                    j.cast("string")))
-             % 1000).cast("double") / 500.0 - 1.0)
 
-    bucket = F.lit(0)
+def _splitmix64(x: int) -> int:
+    x = (x + 0x9E3779B97F4A7C15) & _M64
+    z = x
+    z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & _M64
+    z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & _M64
+    return z ^ (z >> 31)
+
+
+def plane_matrix(num_planes: int, dim: int, seed: int) -> np.ndarray:
+    """Deterministic hyperplane coefficients in [-1, 1): pure-Python
+    splitmix64 over (seed, plane, dim-index) — identical on every
+    executor and reproducible in an external oracle by inlining the
+    resulting doubles (no RNG state, no engine-specific hash)."""
+    out = np.empty((num_planes, dim), dtype=np.float64)
     for p in range(num_planes):
-        s = F.aggregate(
-            F.zip_with(
-                vec,
-                F.transform(F.sequence(F.lit(0), F.size(vec) - 1), coeff(p)),
-                lambda x, y: x.cast("double") * y),
-            F.lit(0.0), lambda acc, v: acc + v)
-        bucket = bucket + F.when(s > 0, F.lit(1 << p)).otherwise(F.lit(0))
+        for j in range(dim):
+            h = _splitmix64((seed * 0x9E3779B97F4A7C15
+                             + p * 1_000_003 + j) & _M64)
+            out[p, j] = (h % 1000) / 500.0 - 1.0
+    return out
+
+
+def hyperplane_bucket_udf(num_planes: int, seed: int):
+    """Arrow-vectorized hyperplane bucketing (replaces an interpreted
+    zip_with/aggregate Catalyst HOF chain that was CodegenFallback and
+    measured ~10-40x slower on sibling ops — VERDICT r1 #7).
+
+    The per-plane dot product accumulates dimension-by-dimension (a
+    sequential left fold) so an external SQL oracle using the same fold
+    order reproduces the sign bit-for-bit.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("int")
+    def bucket(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype="int32")
+        v = np.stack([np.asarray(x, dtype=np.float64) for x in vecs])
+        pm = plane_matrix(num_planes, v.shape[1], seed)
+        acc = np.zeros((len(vecs), num_planes))
+        for j in range(v.shape[1]):
+            acc += v[:, j:j + 1] * pm[:, j]
+        bits = ((acc > 0) * (1 << np.arange(num_planes))).sum(axis=1)
+        return pd.Series(bits.astype(np.int32))
+
     return bucket
+
+
+def cosine_pairs_udf():
+    """Arrow-vectorized cosine over two array columns (candidate-pair
+    scoring) — one stacked numpy pass per batch, float64 throughout."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def cos(a: pd.Series, b: pd.Series) -> pd.Series:
+        if len(a) == 0:
+            return pd.Series([], dtype="float64")
+        am = np.stack([np.asarray(x, dtype=np.float64) for x in a])
+        bm = np.stack([np.asarray(x, dtype=np.float64) for x in b])
+        num = (am * bm).sum(axis=1)
+        den = np.linalg.norm(am, axis=1) * np.linalg.norm(bm, axis=1)
+        return pd.Series(num / den)
+
+    return cos
 
 
 def lsh_bucketed_topk(corpus: DataFrame, queries: DataFrame, k: int,
@@ -141,30 +184,33 @@ def lsh_bucketed_topk(corpus: DataFrame, queries: DataFrame, k: int,
     Each query probes its own bucket and (optionally) every 1-bit-flip
     neighbor bucket; candidates are exact-scored and ranked. Recall
     improves with ``multiprobe`` and fewer planes; cost improves with
-    more planes.
+    more planes — size ``num_planes ≈ log2(corpus_rows / target_bucket)``
+    so buckets stay small enough that within-bucket candidate joins
+    never go quadratic (e.g. 20 planes for 10^9 rows at ~1k/bucket).
+
+    Bucketing and scoring run in Arrow kernels (hyperplane_bucket_udf /
+    cosine_pairs_udf) — no interpreted Catalyst HOFs on the hot path.
     """
-    b = _hyperplane_bucket(F.col(vec_col), num_planes, seed)
+    b = hyperplane_bucket_udf(num_planes, seed)
     c = corpus.select(F.col(id_col).alias("neighbor_id"),
                       F.col(vec_col).alias("__cvec"),
-                      _norm(F.col(vec_col)).alias("__cnorm"),
-                      b.alias("bucket"))
+                      b(F.col(vec_col)).alias("bucket"))
     probes = [F.col("__qb")]
     if multiprobe:
         probes += [F.col("__qb").bitwiseXOR(F.lit(1 << p))
                    for p in range(num_planes)]
     q = queries.select(F.col(id_col).alias("query_id"),
                        F.col(vec_col).alias("__qvec"),
-                       _norm(F.col(vec_col)).alias("__qnorm"),
-                       b.alias("__qb"))
-    q = q.select("query_id", "__qvec", "__qnorm",
+                       b(F.col(vec_col)).alias("__qb"))
+    q = q.select("query_id", "__qvec",
                  F.explode(F.array(*probes)).alias("bucket"))
     joined = c.join(F.broadcast(q), "bucket")
     if exclude_self:
         joined = joined.filter(F.col("neighbor_id") != F.col("query_id"))
+    cos = cosine_pairs_udf()
     scored = joined.select(
         "query_id", "neighbor_id",
-        (_dot(F.col("__qvec"), F.col("__cvec"))
-         / (F.col("__qnorm") * F.col("__cnorm"))).alias("cosine"))
+        cos(F.col("__qvec"), F.col("__cvec")).alias("cosine"))
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(),
                                                F.col("neighbor_id").asc())
     return (scored.withColumn("rank", F.row_number().over(w))
