@@ -63,7 +63,10 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 _ORD = "__omls_ord"      # int64 order key (ms for timestamps)
-_SIDE = "__omls_side"    # 1 = primary, 0 = union row
+_SIDE = "__omls_side"    # 1 = primary; union table i = -i (later
+                         # union tables sort FIRST at equal ts and the
+                         # primary row LAST — test_window_union.yaml#19
+                         # golden: lag order over multi-table unions)
 _EMIT = "__omls_emit"    # 1 = row is emitted (not a salt replica)
 _PART = "__omls_part"    # salt part id
 
@@ -82,9 +85,12 @@ class Agg:
           count_cate, sum_cate, avg_cate, min_cate, max_cate}
 
     ``first_value`` follows OpenMLDB: the *newest* row of the frame
-    (docs udfs_8h.md), not SQL FIRST_VALUE. ``lag`` is partition-relative
-    (ignores the frame), matching the reference
-    (default_defs/window_functions_def.cc:96).
+    (docs udfs_8h.md), not SQL FIRST_VALUE. ``lag(n)`` is the n-th newest
+    BUFFERED row — it ignores the frame bounds but respects buffer
+    visibility (union rows included; EXCLUDE CURRENT_TIME and
+    INSTANCE_NOT_IN_WINDOW applied), matching the reference
+    (default_defs/window_functions_def.cc:96; goldens
+    window_attributes.yaml#9, test_window_union.yaml#19).
     """
     name: str
     fn: str
@@ -153,7 +159,11 @@ def _agg_out_type(a: Agg, in_schema: T.StructType) -> T.DataType:
         return T.StringType()
     src = in_schema[a.col].dataType
     if a.fn in ("sum", "sum_where"):
-        return _WIDEN.get(type(src), T.DoubleType())()
+        # sum(timestamp) keeps TIMESTAMP in the reference (epoch-ms
+        # arithmetic — window_query.yaml#9 golden)
+        if isinstance(src, (T.TimestampType, T.TimestampNTZType)):
+            return src
+        return _WIDEN.get(type(src), T.DoubleType)()
     return src  # min/max/first_value/lag keep input type
 
 
@@ -317,7 +327,7 @@ def _make_kernel(spec: WindowSpecFE, aggs: list[Agg], out_cols: list[str],
         # when self is carved out separately, remove it from contiguous part
         sep_self = (ex_time or ex_row) and end == 0
 
-        mask = (side == 0) if has_union else np.ones(m, dtype=bool)
+        mask = (side != 1) if has_union else np.ones(m, dtype=bool)
         if has_union:
             # contiguous part counts only union rows; self handled separately
             if not sep_self:
@@ -375,7 +385,16 @@ def _make_kernel(spec: WindowSpecFE, aggs: list[Agg], out_cols: list[str],
                       {ct for (_, _, _, _, _, ct) in agg_specs if ct}
         arr: dict[str, np.ndarray] = {}
         for c in cols_needed:
-            arr[c] = pdf[c].to_numpy()
+            s = pdf[c]
+            if np.issubdtype(s.dtype, np.datetime64):
+                # timestamps compute as int64 epoch-ms (SURVEY.md §1.2)
+                na = s.isna().to_numpy()
+                v = s.values.astype("datetime64[ms]").astype(np.int64) \
+                    .astype(np.float64)
+                v[na] = np.nan
+                arr[c] = v
+            else:
+                arr[c] = s.to_numpy()
 
         # cond masks were evaluated Spark-side (full SQL semantics) into
         # __omls_cond* boolean columns — never pandas.eval'd
@@ -402,8 +421,25 @@ def _make_kernel(spec: WindowSpecFE, aggs: list[Agg], out_cols: list[str],
         for (name, fn, col, cond, nn, cate) in agg_specs:
             extra = cond_mask.get(cond) if cond else None
             if fn == "lag":
-                v = pdf[col].shift(nn or 1)
-                out[name] = v.to_numpy()
+                # lag(n) = value of the n-th NEWEST row in the window
+                # BUFFER (default_defs/window_functions_def.cc:96): union
+                # rows are buffered, EXCLUDE CURRENT_TIME drops same-
+                # current-ts rows, INSTANCE_NOT_IN_WINDOW drops primary
+                # rows — NOT a plain partition shift (goldens
+                # window_attributes.yaml#9, test_window_union.yaml#19)
+                nn_ = nn or 1
+                elig = mask if has_union else np.ones(m, dtype=bool)
+                cum_e = np.cumsum(elig.astype(np.int64))
+                elig_idx = np.flatnonzero(elig)
+                upper = (first_peer - 1) if ex_time else (idx - 1)
+                upper_cnt = np.where(
+                    upper >= 0, cum_e[np.clip(upper, 0, m - 1)], 0)
+                pos = upper_cnt - nn_
+                valid = pos >= 0
+                src = np.zeros(m, dtype=np.int64)
+                src[valid] = elig_idx[pos[valid]]
+                vraw = np.asarray(arr[col], dtype=object)
+                out[name] = np.where(valid, vraw[src], None)
                 continue
             if fn == "first_value":
                 # newest frame row: self when included, else the newest
@@ -429,8 +465,16 @@ def _make_kernel(spec: WindowSpecFE, aggs: list[Agg], out_cols: list[str],
                     pc = np.concatenate([[0], np.cumsum(okm.astype(np.int64))])
                     selfok = okn
                 else:
-                    _, pc, v, ok = prefix_sum(arr[col], extra)
-                    selfok = ok
+                    # count() is type-agnostic: non-null check on the raw
+                    # values (numeric coercion would drop non-numeric
+                    # strings — udaf_query.yaml#1 golden)
+                    okn = pd.Series(arr[col]).notna().to_numpy()
+                    if extra is not None:
+                        okn = okn & extra
+                    okm = okn & mask
+                    pc = np.concatenate(
+                        [[0], np.cumsum(okm.astype(np.int64))])
+                    selfok = okn
                 res = rng_sum(pc, lo, chi).astype(np.int64)
                 res[empty] = 0
                 if self_add:
@@ -454,8 +498,20 @@ def _make_kernel(spec: WindowSpecFE, aggs: list[Agg], out_cols: list[str],
                 out[name] = res
                 continue
             if fn in ("min", "max", "min_where", "max_where"):
-                v = pd.to_numeric(pd.Series(arr[col]), errors="coerce") \
-                      .to_numpy(np.float64)
+                v_raw = pd.Series(arr[col])
+                num = pd.to_numeric(v_raw, errors="coerce")
+                decode = None
+                if (num.isna() & v_raw.notna()).any():
+                    # non-numeric orderable values (dates / strings /
+                    # timestamps): ordinal-encode against the sorted
+                    # distinct set, min/max on codes, decode after
+                    # (window_query.yaml#10 golden: min/max of DATE)
+                    uniq = sorted(v_raw.dropna().unique())
+                    code = {u: float(i) for i, u in enumerate(uniq)}
+                    v = v_raw.map(code).to_numpy(np.float64)
+                    decode = uniq
+                else:
+                    v = num.to_numpy(np.float64)
                 okn = ~np.isnan(v)
                 if extra is not None:
                     okn = okn & extra
@@ -466,27 +522,35 @@ def _make_kernel(spec: WindowSpecFE, aggs: list[Agg], out_cols: list[str],
                 res = _range_q(tabs, lo, np.where(empty, lo - 1, chi), op)
                 if self_add:
                     res = op(res, np.where(okn, v, np.nan))
+                if decode is not None:
+                    res = np.array(
+                        [decode[int(x)] if not np.isnan(x) else None
+                         for x in res], dtype=object)
                 out[name] = res
                 continue
-            # multiset family: per-row over the frame slice (bounded windows)
+            # multiset family: sliding add/evict counters over the
+            # monotone [lo, chi] bounds — O(rows + slides) with
+            # O(distinct) per-row finalization, replacing the previous
+            # O(rows x frame) per-row rebuild. Bounds are monotone for
+            # emitted rows (searchsorted / cumsum of monotone inputs); a
+            # non-monotone step triggers a state rebuild (correct,
+            # merely slower).
             vals = arr[col] if col else None
             cvals = arr[cate] if cate else None
-            res_l: list = []
             vobj = pd.Series(vals) if vals is not None else None
             notna = vobj.notna().to_numpy() if vobj is not None else None
+            state = _SlidingMultiset(
+                fn, vals, cvals, notna,
+                mask if has_union else None, nn)
+            res_l: list = [None] * m
             for i in range(m):
                 if not emit[i]:
-                    res_l.append(None)
                     continue
-                sl = np.arange(lo[i], chi[i] + 1) if chi[i] >= lo[i] \
-                    else np.empty(0, dtype=np.int64)
-                if has_union:
-                    sl = sl[mask[sl]]
-                if self_add:
-                    sl = np.append(sl, i)
-                if vals is not None:
-                    sl = sl[notna[sl]]
-                res_l.append(_multiset_agg(fn, vals, cvals, sl, nn))
+                l, h = int(lo[i]), int(chi[i])
+                if h < l:
+                    l, h = 0, -1
+                state.slide(l, h)
+                res_l[i] = state.result(i if self_add else None)
             out[name] = res_l
 
         res_pdf = pdf.loc[emit, passthrough].reset_index(drop=True)
@@ -497,6 +561,12 @@ def _make_kernel(spec: WindowSpecFE, aggs: list[Agg], out_cols: list[str],
             want = dtypes[name]
             if want in ("bigint", "int", "smallint"):
                 res_pdf[name] = pd.Series(vv, dtype="Float64").astype("Int64")
+            elif want.startswith("timestamp"):
+                ser = pd.Series(vv)
+                if not np.issubdtype(ser.dtype, np.datetime64):
+                    ser = pd.to_datetime(
+                        pd.to_numeric(ser, errors="coerce"), unit="ms")
+                res_pdf[name] = ser
             elif want in ("double", "float"):
                 # nullable Float64 so empty-frame NaN crosses Arrow as NULL
                 # (SQL semantics: SUM/AVG/MIN/MAX over empty frame = NULL)
@@ -510,44 +580,148 @@ def _make_kernel(spec: WindowSpecFE, aggs: list[Agg], out_cols: list[str],
     return kernel
 
 
-def _multiset_agg(fn: str, vals, cvals, sl: np.ndarray, nn: int | None):
-    if fn == "distinct_count":
-        return int(len(set(vals[j] for j in sl)))
-    if fn == "top":
-        xs = sorted((vals[j] for j in sl), reverse=True)[: (nn or 1)]
-        return ",".join(_fmt_num(x) if isinstance(x, (int, float)) else str(x)
-                        for x in xs)
-    if fn in ("topn_frequency", "top1_ratio"):
-        from collections import Counter
-        cnt = Counter(str(vals[j]) for j in sl)
-        if fn == "top1_ratio":
-            total = sum(cnt.values())
-            return (max(cnt.values()) / total) if total else None
-        ordered = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
-        return ",".join(k for k, _ in ordered[: (nn or 1)])
-    if fn in ("count_cate", "sum_cate", "avg_cate", "min_cate", "max_cate"):
-        acc: dict[str, list] = {}
-        for j in sl:
-            k = cvals[j]
+class _SlidingMultiset:
+    """Sliding window state for the multiset aggregate family
+    (distinct_count / top / topn_frequency / top1_ratio / *_cate).
+
+    Mirrors the reference's amortized window-buffer slide
+    (HistoryWindow::Slide, mem_catalog.h:406-480) instead of rebuilding
+    the frame per row: each row enters and leaves the state exactly
+    once, and per-row finalization is O(distinct keys). The current row
+    (self) is added transiently around finalization when the frame
+    includes it.
+    """
+
+    def __init__(self, fn, vals, cvals, notna, mask, nn):
+        self.fn, self.vals, self.cvals = fn, vals, cvals
+        self.notna, self.mask, self.nn = notna, mask, nn
+        self.lo, self.hi = 0, -1
+        self.cnt: dict = {}
+        self.total = 0
+        self.cats: dict = {}          # cat -> {value -> count}
+        self.catn: dict = {}          # cat -> row count
+        self.catsum: dict = {}        # cat -> running sum
+        self.is_cate = fn.endswith("_cate")
+
+    def _ok(self, j, ignore_mask=False):
+        if not ignore_mask and self.mask is not None and not self.mask[j]:
+            return False
+        if self.notna is not None and not self.notna[j]:
+            return False
+        if self.is_cate:
+            k = self.cvals[j]
             if k is None or (isinstance(k, float) and np.isnan(k)):
-                continue
-            acc.setdefault(str(k), []).append(vals[j])
+                return False
+        return True
+
+    def _key(self, j):
+        v = self.vals[j]
+        return str(v) if self.fn in ("topn_frequency", "top1_ratio") else v
+
+    def _add(self, j, ignore_mask=False):
+        if not self._ok(j, ignore_mask):
+            return
+        if self.is_cate:
+            k = str(self.cvals[j])
+            v = self.vals[j]
+            d = self.cats.setdefault(k, {})
+            d[v] = d.get(v, 0) + 1
+            self.catn[k] = self.catn.get(k, 0) + 1
+            if self.fn in ("sum_cate", "avg_cate"):
+                self.catsum[k] = self.catsum.get(k, 0) + v
+            return
+        k = self._key(j)
+        self.cnt[k] = self.cnt.get(k, 0) + 1
+        self.total += 1
+
+    def _evict(self, j, ignore_mask=False):
+        if not self._ok(j, ignore_mask):
+            return
+        if self.is_cate:
+            k = str(self.cvals[j])
+            v = self.vals[j]
+            d = self.cats[k]
+            d[v] -= 1
+            if not d[v]:
+                del d[v]
+            self.catn[k] -= 1
+            if not self.catn[k]:
+                del self.cats[k]
+                del self.catn[k]
+                self.catsum.pop(k, None)
+            elif self.fn in ("sum_cate", "avg_cate"):
+                self.catsum[k] -= v
+            return
+        k = self._key(j)
+        c = self.cnt[k] - 1
+        if c:
+            self.cnt[k] = c
+        else:
+            del self.cnt[k]
+        self.total -= 1
+
+    def _clear(self):
+        self.cnt.clear()
+        self.total = 0
+        self.cats.clear()
+        self.catn.clear()
+        self.catsum.clear()
+
+    def slide(self, l, h):
+        if l < self.lo or h < self.hi:
+            self._clear()
+            self.lo, self.hi = l, l - 1
+        for j in range(self.hi + 1, h + 1):
+            self._add(j)
+        self.hi = max(self.hi, h)
+        for j in range(self.lo, l):
+            self._evict(j)
+        self.lo = max(self.lo, l)
+
+    def result(self, self_i=None):
+        tmp = self_i is not None and self._ok(self_i, ignore_mask=True)
+        if tmp:
+            self._add(self_i, ignore_mask=True)
+        r = self._finalize()
+        if tmp:
+            self._evict(self_i, ignore_mask=True)
+        return r
+
+    def _finalize(self):
+        fn = self.fn
+        if fn == "distinct_count":
+            return int(len(self.cnt))
+        if fn == "top":
+            k = self.nn or 1
+            xs: list = []
+            for v in sorted(self.cnt, reverse=True):
+                take = min(self.cnt[v], k - len(xs))
+                xs.extend([v] * take)
+                if len(xs) >= k:
+                    break
+            return ",".join(_fmt_num(x) if isinstance(x, (int, float))
+                            else str(x) for x in xs)
+        if fn == "top1_ratio":
+            return (max(self.cnt.values()) / self.total) \
+                if self.total else None
+        if fn == "topn_frequency":
+            ordered = sorted(self.cnt.items(),
+                             key=lambda kv: (-kv[1], kv[0]))
+            return ",".join(key for key, _ in ordered[: (self.nn or 1)])
         parts = []
-        for k in sorted(acc):
-            xs = acc[k]
+        for k in sorted(self.cats):
             if fn == "count_cate":
-                v = len(xs)
+                v = self.catn[k]
             elif fn == "sum_cate":
-                v = sum(xs)
+                v = self.catsum[k]
             elif fn == "avg_cate":
-                v = sum(xs) / len(xs)
+                v = self.catsum[k] / self.catn[k]
             elif fn == "min_cate":
-                v = min(xs)
+                v = min(self.cats[k])
             else:
-                v = max(xs)
+                v = max(self.cats[k])
             parts.append(f"{k}:{_fmt_num(v)}")
         return ",".join(parts) if parts else None
-    raise ValueError(fn)
 
 
 # ---------------------------------------------------------------------------
@@ -683,9 +857,10 @@ def _native_union(df: DataFrame, spec: WindowSpecFE,
                   aggs: list[Agg]) -> DataFrame:
     prim = df.withColumn(_SIDE, F.lit(1))
     parts = [prim]
-    for u in spec.union_dfs:
+    for ui, u in enumerate(spec.union_dfs):
         parts.append(u.filter(F.col(spec.order_by).isNotNull())
-                      .select(*df.columns).withColumn(_SIDE, F.lit(0)))
+                      .select(*df.columns)
+                      .withColumn(_SIDE, F.lit(-(ui + 1))))
     allr = parts[0]
     for p in parts[1:]:
         allr = allr.unionByName(p)
@@ -704,15 +879,16 @@ def _kernel_exec(df: DataFrame, spec: WindowSpecFE, aggs: list[Agg],
     prim = (df.withColumn(_ORD, _ord_ms(df, spec.order_by))
               .withColumn(_SIDE, F.lit(1)))
     parts = [prim]
-    for u in spec.union_dfs:
+    for ui, u in enumerate(spec.union_dfs):
         parts.append(u.filter(F.col(spec.order_by).isNotNull())
                       .select(*df.columns)
                       .withColumn(_ORD, _ord_ms(u, spec.order_by))
-                      .withColumn(_SIDE, F.lit(0)))
+                      .withColumn(_SIDE, F.lit(-(ui + 1))))
     allr = parts[0]
     for p in parts[1:]:
         allr = allr.unionByName(p)
-    allr = allr.withColumn(_EMIT, F.col(_SIDE))
+    allr = allr.withColumn(_EMIT,
+                           (F.col(_SIDE) == 1).cast("int"))
 
     # evaluate *_where conditions as Catalyst expressions (full SQL
     # semantics incl. NULL handling) into boolean columns for the kernel
@@ -725,7 +901,15 @@ def _kernel_exec(df: DataFrame, spec: WindowSpecFE, aggs: list[Agg],
 
     group_keys = list(keys)
     if skew is not None:
-        allr = _salt(allr, keys, skew)
+        # replication reach: how far back a later part's frames can see.
+        # lag() is partition-relative (ignores the frame), so its offset
+        # extends the row reach regardless of frame kind.
+        lag_n = max((a.n or 1 for a in aggs if a.fn == "lag"), default=0)
+        time_reach = spec.start if spec.frame == "range" else None
+        row_reach = (spec.start if spec.frame == "rows" else 0)
+        row_reach = max(row_reach, lag_n) or None
+        allr = _salt(allr, keys, skew, time_reach=time_reach,
+                     row_reach=row_reach)
         group_keys = keys + [_PART]
 
     passthrough = [c for c in df.columns]
@@ -749,14 +933,28 @@ def _kernel_exec(df: DataFrame, spec: WindowSpecFE, aggs: list[Agg],
     return res
 
 
-def _salt(allr: DataFrame, keys: list[str], skew: SkewConfig) -> DataFrame:
-    """Two-level salting with history replication
-    (reference SkewDataFrameUtils.scala:26-143).
+def _salt(allr: DataFrame, keys: list[str], skew: SkewConfig,
+          time_reach: int | None = None,
+          row_reach: int | None = None) -> DataFrame:
+    """Two-level salting with FRAME-BOUNDED history replication
+    (reference SkewDataFrameUtils.scala:26-143; genUnionDf replicates
+    only the preceding blocks a part actually needs, :110-143).
 
     Hot keys (≥ min_rows) are split into ``parts`` time-ranges by
     percentile of the order key; each row is tagged with its part and
-    additionally *replicated* (emit-suppressed) into every later part of
-    the same key so each part holds its full history prefix.
+    *replicated* (emit-suppressed) into later parts — but only when it
+    can still fall inside some frame there:
+
+    - ``time_reach`` (RANGE frames, ms): replica goes to part q only if
+      ``ord > boundary(q) - time_reach``.
+    - ``row_reach`` (ROWS frames / lag offsets): only the newest
+      ``row_reach`` rows of each part replicate (into every later part,
+      which stays correct when intermediate parts are thinner than the
+      frame).
+
+    With both None the full history prefix replicates (pre-round-2
+    behavior) — O(history) per hot key, the scale-killer VERDICT r1
+    flagged; bounded replication is O(frame) per part.
     """
     n = skew.parts
     qs = [i / n for i in range(1, n)]
@@ -769,13 +967,33 @@ def _salt(allr: DataFrame, keys: list[str], skew: SkewConfig) -> DataFrame:
     part = F.when(F.col("__qs").isNull(), F.lit(0)).otherwise(
         F.aggregate("__qs", F.lit(0),
                     lambda acc, q: acc + F.when(F.col(_ORD) > q, 1).otherwise(0)))
-    tagged = tagged.withColumn(_PART, part).drop("__qs")
-    # replicate into later parts with emit suppressed
-    reps = F.when(F.col(_PART) < n - 1,
-                  F.sequence(F.col(_PART) + 1, F.lit(n - 1))
-                  ).otherwise(F.array().cast("array<int>"))
-    hot = tagged.join(F.broadcast(dist.select(*keys)), on=keys, how="left_semi")
-    replicas = (hot.withColumn("__rep", F.explode(reps))
-                   .withColumn(_PART, F.col("__rep")).drop("__rep")
+    tagged = tagged.withColumn(_PART, part)
+    hot = tagged.filter(F.col("__qs").isNotNull())
+    if row_reach is not None:
+        w = Window.partitionBy(*keys, _PART).orderBy(F.col(_ORD).desc())
+        hot = hot.withColumn("__rn", F.row_number().over(w))
+    else:
+        hot = hot.withColumn("__rn", F.lit(None).cast("int"))
+    # candidate later parts, filtered by the reach criteria
+    seq = F.when(F.col(_PART) < n - 1,
+                 F.sequence(F.col(_PART) + 1, F.lit(n - 1))
+                 ).otherwise(F.array().cast("array<int>"))
+    if time_reach is None and row_reach is None:
+        need = seq
+    else:
+        row_ok = (F.col("__rn") <= F.lit(row_reach)) \
+            if row_reach is not None else F.lit(False)
+        if time_reach is not None:
+            def t_ok(q):
+                return F.col(_ORD) > (
+                    F.element_at(F.col("__qs"), q.cast("int"))
+                    - F.lit(time_reach))
+        else:
+            def t_ok(q):
+                return F.lit(False)
+        need = F.filter(seq, lambda q: row_ok | t_ok(q))
+    replicas = (hot.withColumn("__rep", F.explode(need))
+                   .withColumn(_PART, F.col("__rep"))
+                   .drop("__rep", "__rn")
                    .withColumn(_EMIT, F.lit(0)))
-    return tagged.unionByName(replicas)
+    return tagged.drop("__qs").unionByName(replicas.drop("__qs"))

@@ -135,7 +135,17 @@ def _parse_window(name: str, body: str) -> _Win:
 
 def _split_top_level(s: str, sep: str = ",") -> list[str]:
     out, depth, cur = [], 0, []
+    quote = None
     for ch in s:
+        if quote:
+            cur.append(ch)
+            if ch == quote:
+                quote = None
+            continue
+        if ch in "'\"":
+            quote = ch
+            cur.append(ch)
+            continue
         if ch == "(":
             depth += 1
         elif ch == ")":
@@ -156,52 +166,93 @@ class _Item:
     col: str | None = None           # plain column passthrough
     agg: Agg | None = None
     win: str | None = None
+    expr: str | None = None          # non-window scalar expression (SQL)
+    arg_expr: str | None = None      # agg input as expression (SQL)
+    post: str | None = None          # expression suffix around the agg
+
+
+_AGG_ALIASES = {"at": "lag", "fz_top1_ratio": "top1_ratio",
+                "fz_topn_frequency": "topn_frequency"}
 
 
 def _parse_item(item: str) -> _Item:
     it = " ".join(item.split())
-    m = re.match(r"(?i)^(.*?)\s+over\s+(\w+)(?:\s+as\s+(\w+))?$", it)
+    # trailing `AS alias` first (lazy-left + $-anchor: an `as` inside a
+    # parenthesized CAST never matches because ')' follows the word)
+    alias0 = None
+    ma = re.match(r"(?is)^(.*?)\s+as\s+(`?\w+`?)$", it)
+    if ma:
+        it, alias0 = ma.group(1), ma.group(2).strip("`")
+    m = re.match(r"(?i)^(.*?\))\s+over\s+(\w+)\s*(.*)$", it)
     if m:
-        call, win, alias = m.group(1), m.group(2), m.group(3)
-        mc = re.match(r"(?i)^(\w+)\s*\(\s*(.*?)\s*\)$", call.strip())
+        call, win, post, alias = (m.group(1), m.group(2),
+                                  m.group(3).strip() or None, alias0)
+        mc = re.match(r"(?is)^(\w+)\s*\(\s*(.*?)\s*\)$", call.strip())
         if not mc:
             raise UnsupportedSQL(f"agg call {call!r}")
         fn = mc.group(1).lower()
-        if fn == "at":
-            fn = "lag"
+        fn = _AGG_ALIASES.get(fn, fn)
         if fn not in _AGG_FNS:
             raise UnsupportedSQL(f"agg fn {fn!r}")
         args = [a.strip() for a in _split_top_level(mc.group(2))] \
             if mc.group(2) else []
-        col = None
+        col = arg_expr = cond = None
         n = None
         if args:
             if args[0] == "*":
                 col = None
             else:
-                col = _strip_table(args[0])
+                try:
+                    col = _strip_table(args[0])
+                except UnsupportedSQL:
+                    arg_expr = args[0]     # expression input
         if fn in ("lag", "top", "topn_frequency") and len(args) > 1:
-            n = int(args[1])
-        if any("(" in a or "'" in a for a in args[1:]):
-            raise UnsupportedSQL(f"complex agg args {args!r}")
+            try:
+                n = int(args[1])
+            except ValueError:
+                raise UnsupportedSQL(f"non-literal count arg {args[1]!r}")
+        elif fn.endswith("_where") and len(args) > 1:
+            cond = args[1]
+        elif len(args) > 1:
+            raise UnsupportedSQL(f"extra agg args {args!r}")
         alias = alias or f"{fn}_{col}"
-        return _Item(alias=alias, agg=Agg(alias, fn, col, n=n), win=win)
-    m = re.match(r"(?i)^(\S+)(?:\s+as\s+(\w+))?$", it)
-    if not m:
-        raise UnsupportedSQL(f"select item {item!r}")
-    col = _strip_table(m.group(1))
-    return _Item(alias=m.group(2) or col, col=col)
+        return _Item(alias=alias,
+                     agg=Agg(alias, fn, col, cond=cond, n=n), win=win,
+                     arg_expr=arg_expr, post=post)
+    m = re.match(r"(?i)^(\S+)$", it)
+    if m:
+        try:
+            col = _strip_table(m.group(1))
+            return _Item(alias=alias0 or col, col=col)
+        except UnsupportedSQL:
+            pass
+    # scalar expression item (evaluated on the primary relation)
+    if not alias0:
+        raise UnsupportedSQL(f"expression item without alias: {item!r}")
+    return _Item(alias=alias0, expr=it)
 
 
-def translate(sql: str) -> tuple[list[_Item], dict[str, _Win]]:
-    """Parse the restricted dialect; returns (items, windows)."""
+def translate(sql: str) -> tuple[list[_Item], dict[str, _Win], int | None]:
+    """Parse the restricted dialect; returns (items, windows, limit)."""
     s = " ".join(sql.strip().rstrip(";").split())
+    limit = None
+    ml = re.match(r"(?i)^(.*)\s+limit\s+(\d+)\s*$", s)
+    if ml:
+        s, limit = ml.group(1), int(ml.group(2))
+    # inline anonymous windows: lift `OVER (body)` into named defs
+    anon: dict[str, _Win] = {}
+
+    def lift(mm):
+        name = f"__anon{len(anon)}"
+        anon[name] = _parse_window(name, mm.group(1))
+        return f"over {name}"
+    s = re.sub(r"(?i)\bover\s*\(([^()]*)\)", lift, s)
     m = re.match(r"(?i)^select\s+(.+?)\s+from\s+(?:\{0\}|`?\w+`?)\s*"
                  r"(?:window\s+(.+))?$", s)
     if not m:
         raise UnsupportedSQL("not a simple windowed SELECT")
     items = [_parse_item(i.strip()) for i in _split_top_level(m.group(1))]
-    wins: dict[str, _Win] = {}
+    wins: dict[str, _Win] = dict(anon)
     if m.group(2):
         for wdef in _split_top_level(m.group(2)):
             mw = re.match(r"(?i)^\s*(\w+)\s+as\s*\((.*)\)\s*$",
@@ -212,7 +263,7 @@ def translate(sql: str) -> tuple[list[_Item], dict[str, _Win]]:
     for it in items:
         if it.win and it.win not in wins:
             raise UnsupportedSQL(f"unknown window {it.win!r}")
-    return items, wins
+    return items, wins, limit
 
 
 def run_windowed_sql(sql: str, tables: list[DataFrame]) -> DataFrame:
@@ -220,10 +271,31 @@ def run_windowed_sql(sql: str, tables: list[DataFrame]) -> DataFrame:
     ({0} = primary, {1}.. = WINDOW UNION tables). OpenMLDB storage order
     is emulated with an insertion-order row id as the tie-break
     (SURVEY.md §2.3: batch storage order; we always pin it)."""
-    items, wins = translate(sql)
+    items, wins, limit = translate(sql)
     prim = tables[0]
     if _RID not in prim.columns:
         raise UnsupportedSQL("primary table must carry __case_rid")
+
+    # expression agg inputs / conditions: materialize as derived columns
+    # shared by the primary AND union tables (the union frame must carry
+    # the same schema)
+    tm = _type_map(prim.select(
+        *[c for c in prim.columns if c != _RID]).schema)
+    derived: dict[str, str] = {}
+    for it in items:
+        if it.agg and it.arg_expr is not None:
+            if it.arg_expr not in derived:
+                derived[it.arg_expr] = f"__warg{len(derived)}"
+            it.agg.col = derived[it.arg_expr]
+        if it.agg and it.agg.cond:
+            it.agg.cond = _xlate_expr(it.agg.cond, tm)
+
+    def add_derived(df):
+        for expr_text, cname in derived.items():
+            df = df.withColumn(cname, F.expr(_xlate_expr(expr_text, tm)))
+        return df
+
+    prim = add_derived(prim)
 
     out = prim
     for wname, w in wins.items():
@@ -234,7 +306,7 @@ def run_windowed_sql(sql: str, tables: list[DataFrame]) -> DataFrame:
         for ref in w.union_refs:
             if ref >= len(tables):
                 raise UnsupportedSQL(f"missing union table {{{ref}}}")
-            union_dfs.append(tables[ref])
+            union_dfs.append(add_derived(tables[ref]))
         spec = WindowSpecFE(
             w.partition_by, w.order_by, frame=w.frame, start=w.start,
             end=w.end, open_start=w.open_start, maxsize=w.maxsize,
@@ -272,9 +344,59 @@ def run_windowed_sql(sql: str, tables: list[DataFrame]) -> DataFrame:
         out = out.join(res, on=_RID, how="left")
     sel = []
     for it in items:
-        sel.append(F.col(it.col).alias(it.alias) if it.col
-                   else F.col(it.alias))
-    return out.select(_RID, *sel)
+        if it.col:
+            sel.append(F.col(it.col).alias(it.alias))
+        elif it.expr is not None:
+            sel.append(F.expr(_xlate_expr(it.expr, tm)).alias(it.alias))
+        elif it.agg is not None and it.post:
+            sel.append(F.expr(f"`{it.agg.name}` {_xlate_expr(it.post, tm)}")
+                       .alias(it.alias))
+        else:
+            sel.append(F.col(it.alias))
+    res = out.select(_RID, *sel)
+    return res.limit(limit) if limit is not None else res
+
+
+def _xlate_expr(text: str, tm: dict[str, str]) -> str:
+    """Transpile an embedded expression fragment: strip {i}. prefixes,
+    rewrite dialect functions, apply cross-type coercion wraps."""
+    t = re.sub(r"\{\d+\}\.", "", text)
+    t = rewrite_expr(t)
+    t = _wrap_compare_operands(t, tm)
+    t = _wrap_not_truthiness(t, tm)
+    wrappers = {c: ("CAST({} AS SMALLINT)" if ty == "boolean"
+                    else "unix_millis({})")
+                for c, ty in tm.items()
+                if ty == "boolean" or ty.startswith("timestamp")}
+    t = _wrap_ts_plusminus(
+        t, {c for c, ty in tm.items() if ty.startswith("timestamp")})
+    t = _wrap_arith_operands(t, wrappers)
+    return t
+
+
+def _wrap_ts_plusminus(text: str, ts_cols: set[str]) -> str:
+    """OpenMLDB ``timestamp +/- int`` yields a shifted TIMESTAMP (ms
+    arithmetic); rewrite the simple binary forms so the result keeps the
+    timestamp type: ts + x -> timestamp_millis(unix_millis(ts) + x)."""
+    if not ts_cols:
+        return text
+    names = "|".join(re.escape(c) for c in sorted(ts_cols, key=len,
+                                                  reverse=True))
+    ref = rf"(?:\w+\.)?\b(?:{names})\b"
+    pat1 = re.compile(rf"({ref})\s*([+-])\s*(\w+)")
+    pat2 = re.compile(rf"(\w+)\s*([+-])\s*({ref})")
+
+    def s1(m):
+        return (f"timestamp_millis(unix_millis({m.group(1)}) "
+                f"{m.group(2)} {m.group(3)})")
+
+    def s2(m):
+        if m.group(1).split(".")[-1] in ts_cols:
+            return m.group(0)      # pat1 already handled ts +/- ts
+        return (f"timestamp_millis({m.group(1)} {m.group(2)} "
+                f"unix_millis({m.group(3)}))")
+
+    return pat2.sub(s2, pat1.sub(s1, text))
 
 
 def _wrap_narrow(c, spark_type: str):
@@ -407,6 +529,10 @@ def run_join_window_sql(sql: str, tables: list[DataFrame]) -> DataFrame:
     from openmldb_spark.operators.last_join import last_join
 
     s = " ".join(sql.strip().rstrip(";").split())
+    limit = None
+    ml = re.match(r"(?i)^(.*)\s+limit\s+(\d+)\s*$", s)
+    if ml:
+        s, limit = ml.group(1), int(ml.group(2))
     m = re.match(
         r"(?i)^select\s+(.+?)\s+from\s+\{0\}\s+last\s+join\s+\{1\}\s*"
         r"(?:order\s+by\s+(\S+)\s*)?on\s+(.+?)\s+window\s+(.+)$", s)
@@ -414,14 +540,20 @@ def run_join_window_sql(sql: str, tables: list[DataFrame]) -> DataFrame:
         raise UnsupportedSQL("not a LAST JOIN + WINDOW composite")
     left, right = tables[0], tables[1]
 
+    conds_text = _strip_outer_parens(m.group(3).strip())
     keys, left_ts, right_ts = [], None, None
-    for cond in re.split(r"(?i)\s+and\s+", m.group(3)):
-        mc = re.match(r"^(\S+)\s*(<=|=|==)\s*(\S+)$", cond.strip())
+    for cond in re.split(r"(?i)\s+and\s+", conds_text):
+        cond = cond.strip().strip("()").strip()
+        mc = re.match(r"^(\S+)\s*(<=|>=|=|==)\s*(\S+)$", cond)
         if not mc:
             raise UnsupportedSQL(f"join condition {cond!r}")
         lt, lc = _tbl_col(mc.group(1))
         rt, rc = _tbl_col(mc.group(3))
-        if mc.group(2) in ("=", "=="):
+        op = mc.group(2)
+        if op == ">=":               # {0}.t >= {1}.t  ==  {1}.t <= {0}.t
+            lt, lc, rt, rc = rt, rc, lt, lc
+            op = "<="
+        if op in ("=", "=="):
             if lt == rt:
                 raise UnsupportedSQL(f"equi cond {cond!r}")
             if lc != rc:
@@ -521,4 +653,524 @@ def run_join_window_sql(sql: str, tables: list[DataFrame]) -> DataFrame:
     sel = [F.col(_RID)]
     for i_, it in enumerate(items):
         sel.append(F.col(it.col if it.col else it.alias).alias(f"__o{i_}"))
-    return out.select(*sel)
+    res = out.select(*sel)
+    return res.limit(limit) if limit is not None else res
+
+
+# ---------------------------------------------------------------------------
+# general SELECT path: expressions / WHERE / GROUP BY / HAVING / LIMIT /
+# subqueries. Strategy: transpile the OpenMLDB dialect to Spark SQL at
+# the text level (function renames, cast-function forms, MOD, dialect
+# templates) and let Catalyst analyze/optimize/execute — the reference's
+# ZetaSQL-parser + LLVM-codegen stack collapses into spark.sql()
+# (SURVEY.md §3.1). LAST JOIN FROM-clauses (no Spark equivalent) are
+# executed by the last_join operator first, then the rest of the query
+# runs over the joined relation. Golden-case runs set
+# spark.sql.ansi.enabled=false so cast-failure->NULL and integer
+# wraparound match the reference's C++ semantics.
+
+_CAST_FNS = {
+    "bool": "BOOLEAN", "smallint": "SMALLINT", "int16": "SMALLINT",
+    "int": "INT", "int32": "INT", "bigint": "BIGINT", "int64": "BIGINT",
+    "float": "FLOAT", "double": "DOUBLE", "string": "STRING",
+    "date": "DATE",
+}
+
+# OpenMLDB scalar surface -> Spark SQL text templates (reference
+# registration sites: hybridse/src/udf/default_udf_library.cc; docs
+# udfs_8h.md). Spark-native same-name functions pass through untouched.
+_FN_TEMPLATES = {
+    # int64 -> epoch-ms; numeric strings -> epoch-ms; date-ish strings /
+    # dates / timestamps -> plain cast. The RLIKE guard keeps a real
+    # TIMESTAMP arg out of the bigint branch (its non-ANSI bigint cast
+    # would yield epoch SECONDS and silently shift the instant).
+    "timestamp": ("coalesce(timestamp_millis(try_cast(CASE WHEN "
+                  "try_cast({0} AS STRING) RLIKE '^-?[0-9]+$' THEN {0} "
+                  "END as bigint)), try_cast({0} as timestamp))"),
+    "inc": "({0} + 1)",
+    "identity": "({0})",
+    "add": "({0} + {1})",
+    "maximum": "greatest({0}, {1})",
+    "minimum": "least({0}, {1})",
+    "truncate": "(CASE WHEN {0} >= 0 THEN floor({0}) ELSE ceil({0}) END)",
+    "strcmp": ("(CASE WHEN {0} < {1} THEN -1 WHEN {0} > {1} THEN 1 "
+               "WHEN {0} = {1} THEN 0 END)"),
+    "char_length": "length({0})",
+    "character_length": "length({0})",
+    "lcase": "lower({0})",
+    "ucase": "upper({0})",
+    "char": "chr({0})",
+    "week": "weekofyear({0})",
+    "like_match": "({0} LIKE {1})",
+    "ilike_match": "({0} ILIKE {1})",
+    "is_null": "isnull({0})",
+    "if_null": "ifnull({0}, {1})",
+    # split of NULL is the EMPTY list in the reference (size 0, join "")
+    "fz_join": "array_join({0}, {1})",
+    "fz_split": "coalesce(split({0}, {1}), array())",
+    "fz_split_by_key": (
+        "coalesce(transform(filter(split({0}, {1}),"
+        " __kv -> locate({2}, __kv) > 0),"
+        " __kv -> split_part(__kv, {2}, 1)), array())"),
+    "fz_split_by_value": (
+        "coalesce(transform(filter(split({0}, {1}),"
+        " __kv -> size(split(__kv, {2})) >= 2),"
+        " __kv -> element_at(split(__kv, {2}), 2)), array())"),
+    "hash64": "xxhash64({0})",
+    "farm_fingerprint": "xxhash64({0})",
+}
+_FN_TEMPLATES["split_by_key"] = _FN_TEMPLATES["fz_split_by_key"]
+_FN_TEMPLATES["split_by_value"] = _FN_TEMPLATES["fz_split_by_value"]
+_FN_TEMPLATES["split"] = _FN_TEMPLATES["fz_split"]
+
+# Date-part extractors: the reference computes them in LOCAL time and
+# its golden corpus was authored in CST — normalize the arg through the
+# ms-aware timestamp template, then shift to Asia/Shanghai. Date args
+# survive the shift unchanged (midnight + 8h, same day).
+_TS_ARG = _FN_TEMPLATES["timestamp"]
+for _f in ("day", "dayofmonth", "month", "year", "week", "weekofyear",
+           "dayofweek", "dayofyear", "hour", "minute", "second"):
+    _base = "weekofyear" if _f == "week" else _f
+    _FN_TEMPLATES[_f] = (_base + "(from_utc_timestamp(" + _TS_ARG
+                         + ", 'Asia/Shanghai'))")
+_FN_TEMPLATES["date"] = ("CAST(from_utc_timestamp(" + _TS_ARG
+                         + ", 'Asia/Shanghai') AS DATE)")
+
+_IDENT_RE = re.compile(r"[A-Za-z_][A-Za-z0-9_]*")
+
+
+def _apply_fn(name: str, args: list[str]) -> str:
+    ln = name.lower()
+    # templates take precedence: 'date'/'timestamp' function forms carry
+    # ms/timezone semantics beyond a plain CAST
+    if ln in _FN_TEMPLATES and not (
+            ln in ("like_match", "ilike_match") and len(args) == 3):
+        try:
+            return _FN_TEMPLATES[ln].format(*args)
+        except IndexError:
+            raise UnsupportedSQL(f"{name} with {len(args)} args")
+    if ln in _CAST_FNS and len(args) == 1:
+        return f"CAST({args[0]} AS {_CAST_FNS[ln]})"
+    if ln == "cast" and len(args) == 1:
+        mc = re.match(r"(?is)^(.*\S)\s+as\s+(\w+)\s*$", args[0])
+        if mc:
+            ty = mc.group(2).lower()
+            # OpenMLDB CAST(int AS TIMESTAMP) treats the int as epoch MS
+            # (SURVEY.md §1.2); Spark treats it as seconds
+            if ty == "timestamp":
+                return _FN_TEMPLATES["timestamp"].format(mc.group(1))
+            if ty in _CAST_FNS:      # normalize BOOL/INT16/... spellings
+                return f"CAST({mc.group(1)} AS {_CAST_FNS[ty]})"
+        return f"CAST({args[0]})"
+    if ln == "atan" and len(args) == 2:      # OpenMLDB atan(y, x) = atan2
+        return f"atan2({args[0]}, {args[1]})"
+    if ln == "like_match" and len(args) == 3:
+        return f"({args[0]} LIKE {args[1]} ESCAPE {args[2]})"
+    if ln == "ilike_match" and len(args) == 3:
+        return f"({args[0]} ILIKE {args[1]} ESCAPE {args[2]})"
+    t = _FN_TEMPLATES.get(ln)
+    if t is not None:
+        try:
+            return t.format(*args)
+        except IndexError:
+            raise UnsupportedSQL(f"{name} with {len(args)} args")
+    return f"{name}({', '.join(args)})"
+
+
+def rewrite_expr(text: str, ident_map: dict[str, str] | None = None) -> str:
+    """Transpile an OpenMLDB-dialect expression (or whole statement) to
+    Spark SQL text: cast-function forms -> CAST, dialect function names
+    -> Spark equivalents, infix MOD -> %. String literals pass through
+    untouched; unknown function names pass through for Catalyst to
+    resolve (same-name Spark builtins). ``ident_map`` renames bare
+    (unqualified, non-call) identifiers — quote- and dot-aware."""
+    out: list[str] = []
+    i, n = 0, len(text)
+    while i < n:
+        ch = text[i]
+        if ch in "'\"":
+            j = i + 1
+            while j < n and text[j] != ch:
+                j += 1
+            out.append(text[i:j + 1])
+            i = j + 1
+            continue
+        m = _IDENT_RE.match(text, i)
+        if not m:
+            out.append(ch)
+            i += 1
+            continue
+        name = m.group(0)
+        j = m.end()
+        k = j
+        while k < n and text[k].isspace():
+            k += 1
+        if k < n and text[k] == "(" and name.lower() not in (
+                "in", "and", "or", "not", "when", "then", "else", "on",
+                "where", "select", "from", "by", "as", "between", "exists"):
+            depth, p = 1, k + 1
+            while p < n and depth:
+                c = text[p]
+                if c in "'\"":
+                    q = p + 1
+                    while q < n and text[q] != c:
+                        q += 1
+                    p = q
+                elif c == "(":
+                    depth += 1
+                elif c == ")":
+                    depth -= 1
+                p += 1
+            inner = text[k + 1:p - 1]
+            args = ([rewrite_expr(a.strip(), ident_map)
+                     for a in _split_top_level(inner)]
+                    if inner.strip() else [])
+            out.append(_apply_fn(name, args))
+            i = p
+            continue
+        if name.upper() == "MOD":
+            out.append("%")
+        elif ident_map and name in ident_map \
+                and not (out and out[-1].endswith(".")) \
+                and not (i > 0 and text[i - 1] == "."):
+            out.append(ident_map[name])
+        else:
+            out.append(name)
+        i = j
+    return "".join(out)
+
+
+def _arith_operand_wrappers(schema) -> dict[str, str]:
+    """Column-name -> wrapper template for types OpenMLDB admits in
+    arithmetic but Spark rejects: bool promotes to 0/1, timestamp
+    becomes its int64 epoch-ms value (SURVEY.md §1.2)."""
+    out = {}
+    for f_ in schema.fields:
+        t = f_.dataType.simpleString()
+        if t == "boolean":
+            out[f_.name] = "CAST({} AS SMALLINT)"
+        elif t.startswith("timestamp"):
+            out[f_.name] = "unix_millis({})"
+    return out
+
+
+def _wrap_arith_operands(sql_text: str, wrappers: dict[str, str]) -> str:
+    """Wrap column refs that sit directly beside an arithmetic operator;
+    refs in logical/comparison contexts are untouched."""
+    if not wrappers:
+        return sql_text
+    names = "|".join(re.escape(c) for c in sorted(wrappers, key=len,
+                                                  reverse=True))
+    op = r"(?:[%*/+-]|\b[dD][iI][vV]\b)"
+    pat = re.compile(
+        rf"((?:\w+\.)?\b(?:{names})\b)(\s*{op})|"
+        rf"({op}\s*)((?:\w+\.)?\b(?:{names})\b)")
+
+    def wrap(ref: str) -> str:
+        bare = ref.split(".")[-1]
+        return wrappers[bare].format(ref)
+
+    def sub(m):
+        if m.group(1) is not None:
+            return f"{wrap(m.group(1))}{m.group(2)}"
+        return f"{m.group(3)}{wrap(m.group(4))}"
+
+    prev = None
+    while prev != sql_text:          # handle 'a % b' with both wrapped
+        prev = sql_text
+        sql_text = pat.sub(sub, sql_text)
+    return sql_text
+
+
+_NUMERIC = {"smallint", "int", "bigint", "float", "double"}
+
+
+def _wrap_compare_operands(sql_text: str, types: dict[str, str]) -> str:
+    """Cross-type comparison coercions the reference applies but Spark
+    resolves differently: string vs non-string compares LEXICALLY (cast
+    the other side to string — Spark would cast the string to the other
+    type, yielding NULL); timestamp vs numeric compares on epoch ms;
+    bool vs numeric promotes bool to 0/1."""
+    if not types:
+        return sql_text
+    names = "|".join(re.escape(c) for c in sorted(types, key=len,
+                                                  reverse=True))
+    ref = rf"(?:\w+\.)?\b(?:{names})\b"
+    pat = re.compile(rf"({ref})(\s*(?:<=|>=|<>|!=|==|=|<|>)\s*)({ref})")
+
+    def sub(m):
+        a, op, b = m.group(1), m.group(2), m.group(3)
+        ta = types.get(a.split(".")[-1], "")
+        tb = types.get(b.split(".")[-1], "")
+        if ta == tb:
+            return m.group(0)
+        def is_ts(t):
+            return t.startswith("timestamp")
+        def to_str(ref, t):
+            # the reference renders timestamps as LOCAL-time strings and
+            # its golden corpus was authored in CST — shift so lexical
+            # comparison reproduces the goldens
+            if t.startswith("timestamp"):
+                return (f"CAST(from_utc_timestamp({ref}, 'Asia/Shanghai')"
+                        f" AS STRING)")
+            return f"CAST({ref} AS STRING)"
+        if ta == "string" and tb != "string":
+            b = to_str(b, tb)
+        elif tb == "string" and ta != "string":
+            a = to_str(a, ta)
+        elif is_ts(ta) and tb in _NUMERIC:
+            a = f"unix_millis({a})"
+        elif is_ts(tb) and ta in _NUMERIC:
+            b = f"unix_millis({b})"
+        elif ta == "boolean" and tb in _NUMERIC:
+            a = f"CAST({a} AS SMALLINT)"
+        elif tb == "boolean" and ta in _NUMERIC:
+            b = f"CAST({b} AS SMALLINT)"
+        return f"{a}{op}{b}"
+
+    return pat.sub(sub, sql_text)
+
+
+def _wrap_not_truthiness(sql_text: str, types: dict[str, str]) -> str:
+    """OpenMLDB NOT/! accepts any type via truthiness (number != 0,
+    non-empty string, NULL -> NULL); Spark requires boolean. Wraps only
+    the unambiguous 'NOT <ref>' form where the ref is the whole operand
+    (followed by a select-list boundary)."""
+    nonbool = {c: t for c, t in types.items() if t != "boolean"}
+    if not nonbool:
+        return sql_text
+    names = "|".join(re.escape(c) for c in sorted(nonbool, key=len,
+                                                  reverse=True))
+    pat = re.compile(
+        rf"(\bNOT\b|!(?!=))\s*((?:\w+\.)?\b(?:{names})\b)"
+        rf"(?=\s*(?:,|\bas\b|\bfrom\b|$))", re.IGNORECASE)
+
+    def truthy(ref: str, t: str) -> str:
+        if t in _NUMERIC:
+            return f"({ref} <> 0)"
+        if t == "string":
+            return f"(length({ref}) > 0)"
+        if t.startswith("timestamp"):
+            return f"(unix_millis({ref}) <> 0)"
+        return f"(CASE WHEN {ref} IS NULL THEN CAST(NULL AS BOOLEAN) " \
+               f"ELSE TRUE END)"
+
+    def sub(m):
+        ref = m.group(2)
+        return f"{m.group(1)} {truthy(ref, nonbool[ref.split('.')[-1]])}"
+
+    return pat.sub(sub, sql_text)
+
+
+def _type_map(schema) -> dict[str, str]:
+    return {f_.name: f_.dataType.simpleString() for f_ in schema.fields}
+
+
+def _strip_outer_parens(text: str) -> str:
+    while text.startswith("(") and text.endswith(")"):
+        inner = text[1:-1]
+        depth, ok = 0, True
+        for ch in inner:
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth < 0:
+                    ok = False
+                    break
+        if not ok or depth != 0:
+            break
+        text = inner.strip()
+    return text
+
+
+def _parse_lastjoin_chain(from_text: str, tables: list[DataFrame]):
+    """Parse 'FROM {0} (LAST JOIN {i} [ORDER BY ref] ON conds)+ [tail]'
+    and execute the chain with the last_join operator. Returns
+    (joined_df, resolver, tail_text) where resolver maps ({i}, col) to
+    the joined relation's column name."""
+    from openmldb_spark.operators.last_join import last_join
+
+    parts = re.split(r"(?i)\blast\s+join\b", " " + from_text)
+    if parts[0].strip() != "{0}":
+        raise UnsupportedSQL(f"FROM head {parts[0].strip()!r}")
+    joins = []
+    tail = ""
+    for seg_i, part in enumerate(parts[1:]):
+        mj = re.match(r"(?is)^\s*\{(\d+)\}\s*"
+                      r"(?:order\s+by\s+(\S+)\s+)?on\s+(.+?)"
+                      r"(\s+(?:where|limit|group)\b.*)?$", part)
+        if not mj:
+            raise UnsupportedSQL(f"join segment {part!r}")
+        if mj.group(4) and seg_i < len(parts) - 2:
+            raise UnsupportedSQL("tail before last join segment")
+        joins.append((int(mj.group(1)), mj.group(2), mj.group(3)))
+        tail = mj.group(4) or ""
+
+    acc = tables[0]
+    resmap: dict[tuple[int, str], str] = {}
+
+    def resolve(ti: int, col: str) -> str:
+        if ti == 0:
+            return col
+        try:
+            return resmap[(ti, col)]
+        except KeyError:
+            raise UnsupportedSQL(f"unresolved ref {{{ti}}}.{col}")
+
+    for ti, order_ref, conds_text in joins:
+        if ti >= len(tables):
+            raise UnsupportedSQL(f"missing table {{{ti}}}")
+        right = tables[ti]
+        keys, key_src = [], {}
+        left_ts = right_ts = None
+        residuals: list[str] = []
+        for cond in re.split(r"(?i)\s+and\s+",
+                             _strip_outer_parens(conds_text.strip())):
+            cond = _strip_outer_parens(cond.strip())
+            mc = re.match(r"^(\S+)\s*(<=|>=|=|==)\s*(\S+)$", cond.strip())
+            if not mc:
+                residuals.append(cond.strip())
+                continue
+            try:
+                at, ac = _tbl_col(mc.group(1))
+                bt, bc = _tbl_col(mc.group(3))
+            except UnsupportedSQL:
+                residuals.append(cond.strip())
+                continue
+            op = mc.group(2)
+            if at == ti and bt != ti:
+                at, ac, bt, bc = bt, bc, at, ac
+                op = {"<=": ">=", ">=": "<="}.get(op, op)
+            if bt != ti or at == ti:
+                raise UnsupportedSQL(f"cond {cond!r}")
+            if op in ("=", "=="):
+                an = resolve(at, ac)
+                keys.append(an)
+                key_src[an] = bc
+            elif op == ">=":
+                left_ts, right_ts = resolve(at, ac), bc
+            else:
+                raise UnsupportedSQL(f"bound {cond!r}")
+        if not keys:
+            raise UnsupportedSQL("no equi keys")
+        sel_r = [F.col(key_src[an]).alias(an) for an in keys]
+        sel_r += [F.col(c).alias(f"__t{ti}_{c}")
+                  for c in tables[ti].columns if c != _RID]
+        if _RID in right.columns:
+            sel_r.append(F.col(_RID).alias(f"__jrid{ti}"))
+        right2 = right.select(*sel_r)
+        rts = f"__t{ti}_{right_ts}" if right_ts is not None else None
+        order_by = f"__t{ti}_{_strip_table(order_ref)}" if order_ref \
+            else f"__jrid{ti}"
+        extra = None
+        if residuals:
+            # θ-residual condition (reference JoinPlan residual filter):
+            # rewrite {i}.col / bare right-col refs to the joined names
+            right_bare = {c for c in tables[ti].columns if c != _RID}
+
+            def fix_ref(mm):
+                rt, rc = int(mm.group(1)), mm.group(2)
+                if rt == ti:
+                    return f"__t{ti}_{rc}"
+                return resolve(rt, rc)
+            bare_map = {c: f"__t{ti}_{c}" for c in right_bare}
+            parts_c = []
+            for rc_ in residuals:
+                # bare-ref mapping FIRST (the tokenizer skips dotted
+                # refs), then qualified-ref resolution — the reverse
+                # order would re-map a resolved left ref that shares its
+                # name with a right column
+                rc_ = rewrite_expr(rc_, bare_map)
+                rc_ = re.sub(r"\{(\d+)\}\.(\w+)", fix_ref, rc_)
+                parts_c.append(f"({rc_})")
+            extra = F.expr(" AND ".join(parts_c))
+        acc = last_join(acc, right2, on=keys, order_by=order_by,
+                        left_ts=left_ts, right_ts=rts, extra_cond=extra,
+                        strategy="join_rank", tiebreak=f"__jrid{ti}")
+        for c in tables[ti].columns:
+            if c != _RID:
+                resmap[(ti, c)] = f"__t{ti}_{c}"
+    return acc, resolve, tail
+
+
+def run_general_sql(spark, sql: str, tables: list[DataFrame],
+                    names: list[str | None] | None = None) -> DataFrame:
+    """Run a non-window OpenMLDB-dialect SELECT via Spark SQL after
+    transpiling (see module section comment). ``names`` optionally
+    registers each table under its case-declared name as well."""
+    s = sql.strip().rstrip(";")
+    # table aliases: `{i} AS alias` -> rewrite alias-qualified refs
+    for mm in list(re.finditer(r"\{(\d+)\}\s+[aA][sS]\s+(\w+)", s)):
+        ti, al = mm.group(1), mm.group(2)
+        s = re.sub(r"(\{\d+\})\s+[aA][sS]\s+" + re.escape(al) + r"\b",
+                   r"\1", s)
+        s = re.sub(rf"\b{re.escape(al)}\s*\.", f"{{{ti}}}.", s)
+    low = " " + " ".join(s.lower().split()) + " "
+    if " window " in low or re.search(r"(?i)\bover\s*\(", s):
+        raise UnsupportedSQL("window clause — use the window runners")
+
+    wrappers: dict[str, str] = {}
+    for i, t in enumerate(tables):
+        view_cols = [c for c in t.columns if c != _RID]
+        tv = t.select(*view_cols)
+        tv.createOrReplaceTempView(f"__t{i}")
+        if names and i < len(names) and names[i] \
+                and re.match(r"^\w+$", str(names[i])):
+            tv.createOrReplaceTempView(names[i])
+        wrappers.update(_arith_operand_wrappers(tv.schema))
+
+    if re.search(r"(?i)\blast\s+join\b", s):
+        m = re.match(r"(?is)^\s*select\s+(.+?)\s+from\s+(\{0\}\s+"
+                     r"last\s+join\s+.+)$", s)
+        if not m:
+            raise UnsupportedSQL("unparseable LAST JOIN select")
+        joined, resolve, tail = _parse_lastjoin_chain(m.group(2), tables)
+        joined = joined.drop(_RID) if _RID in joined.columns else joined
+        joined.createOrReplaceTempView("__rel")
+
+        def sub_ref(mm):
+            return resolve(int(mm.group(1)), mm.group(2))
+        # bare refs to right-table columns that the left table lacks
+        bare_map: dict[str, str] = {}
+        for ti in range(1, len(tables)):
+            for c in tables[ti].columns:
+                if c == _RID or c in tables[0].columns or c in bare_map:
+                    continue
+                try:
+                    bare_map[c] = resolve(ti, c)
+                except UnsupportedSQL:
+                    pass
+        items_txt = m.group(1).strip()
+        if items_txt == "*":
+            # star over LAST JOIN = left columns then each joined table's
+            # columns under their original names (duplicates allowed)
+            parts_sel = [c for c in tables[0].columns if c != _RID]
+            for ti in range(1, len(tables)):
+                for c in tables[ti].columns:
+                    if c != _RID:
+                        try:
+                            parts_sel.append(f"{resolve(ti, c)} AS {c}")
+                        except UnsupportedSQL:
+                            pass
+            items_txt = ", ".join(parts_sel)
+        final = f"SELECT {items_txt} FROM __rel {tail}"
+        final = re.sub(r"\{(\d+)\}\.(\w+)", sub_ref, final)
+        final = rewrite_expr(final, bare_map)
+        tm = _type_map(joined.schema)
+        final = _wrap_compare_operands(final, tm)
+        final = _wrap_not_truthiness(final, tm)
+        final = _wrap_arith_operands(
+            final, _arith_operand_wrappers(joined.schema))
+        return spark.sql(final)
+
+    s2 = re.sub(r"\{(\d+)\}", lambda mm: f"__t{mm.group(1)}", s)
+    s2 = rewrite_expr(s2)
+    tm_all: dict[str, str] = {}
+    for i, t in enumerate(tables):
+        tm_all.update(_type_map(t.select(
+            *[c for c in t.columns if c != _RID]).schema))
+    s2 = _wrap_compare_operands(s2, tm_all)
+    s2 = _wrap_not_truthiness(s2, tm_all)
+    s2 = _wrap_arith_operands(s2, wrappers)
+    return spark.sql(s2)

@@ -18,9 +18,11 @@ def _ord_ms(s: pd.Series) -> pd.Series:
     return s.astype("float64")
 
 
-def _apply_aggs(aggs, g, fr, i, row):
+def _apply_aggs(aggs, g, fr, i, row, buf_js=None):
     """Evaluate agg specs over frame indices ``fr`` (sorted
-    oldest->newest, self last when included) of group ``g``."""
+    oldest->newest, self last when included) of group ``g``. ``buf_js``
+    = indices of BUFFERED preceding rows (visibility rules applied) for
+    buffer-relative functions like lag."""
     for spec in (aggs or []):
         name, fn, col = spec[0], spec[1], spec[2]
         extra = spec[3] if len(spec) > 3 else None
@@ -43,8 +45,11 @@ def _apply_aggs(aggs, g, fr, i, row):
         elif fn == "first_value":
             row[name] = g[col].iloc[fr[-1]] if fr else None
         elif fn == "lag":
+            # lag(n) = n-th newest BUFFERED row (union rows included,
+            # EXCLUDE CURRENT_TIME / INSTANCE_NOT_IN_WINDOW applied)
             k = extra or 1
-            row[name] = g[col].iloc[i - k] if i - k >= 0 else None
+            js = buf_js if buf_js is not None else list(range(i))
+            row[name] = g[col].iloc[js[-k]] if len(js) >= k else None
         elif fn in ("sum_where", "count_where", "avg_where",
                     "min_where", "max_where"):
             sel = [g[col].iloc[j] for j in fr if extra(g.iloc[j])]
@@ -164,7 +169,7 @@ def oracle_window(
                 if maxsize is not None and len(fr) > maxsize:
                     fr = fr[-maxsize:]
                 row = {"__i": i}
-                _apply_aggs(aggs, g, fr, i, row)
+                _apply_aggs(aggs, g, fr, i, row, buf_js=vis)
                 rec = g.iloc[i].to_dict()
                 rec.update(row)
                 results.append(rec)
@@ -185,6 +190,9 @@ def oracle_window(
                     if end == 0 and peer == "sql":
                         pass
                     cand.append(j)
+            vis = [j for j in range(0, i)
+                   if not (exclude_current_time and ts[j] == ts[i])
+                   and not (instance_not_in_window and side[j] == 1)]
             fr = []
             for j in cand:
                 if j == i:
@@ -200,7 +208,7 @@ def oracle_window(
             if maxsize is not None and len(fr) > maxsize:
                 fr = fr[-maxsize:]
             row = {"__i": i}
-            _apply_aggs(aggs, g, fr, i, row)
+            _apply_aggs(aggs, g, fr, i, row, buf_js=vis)
             rec = g.iloc[i].to_dict()
             rec.update(row)
             results.append(rec)

@@ -22,6 +22,11 @@ AGGS = [
     Agg("a_dc", "distinct_count", "v"),
     Agg("a_cw", "count_where", "v", cond="flag"),
     Agg("a_fv", "first_value", "v"),
+    Agg("a_t1r", "top1_ratio", "v"),
+    Agg("a_tnf", "topn_frequency", "v", n=2),
+    Agg("a_cc", "count_cate", "v", cate="cat"),
+    Agg("a_sc", "sum_cate", "v", cate="cat"),
+    Agg("a_lag", "lag", "v", n=2),
 ]
 ORACLE_AGGS = [
     ("a_cnt", "count", "v"),
@@ -32,10 +37,17 @@ ORACLE_AGGS = [
     ("a_dc", "distinct_count", "v"),
     ("a_cw", "count_where", "v", lambda r: bool(r["flag"])),
     ("a_fv", "first_value", "v"),
+    ("a_t1r", "top1_ratio", "v"),
+    ("a_tnf", "topn_frequency", "v", 2),
+    ("a_cc", "count_cate", "v", "cat"),
+    ("a_sc", "sum_cate", "v", "cat"),
+    ("a_lag", "lag", "v", 2),
 ]
+STR_AGGS = {"a_tnf", "a_cc", "a_sc"}
 DTYPES = {"a_cnt": "bigint", "a_sum": "double", "a_min": "double",
           "a_max": "double", "a_avg": "double", "a_dc": "bigint",
-          "a_cw": "bigint", "a_fv": "double"}
+          "a_cw": "bigint", "a_fv": "double", "a_t1r": "double",
+          "a_tnf": "string", "a_cc": "string", "a_sc": "string", "a_lag": "double"}
 
 
 @st.composite
@@ -87,6 +99,7 @@ def test_kernel_matches_oracle(c):
         "ts": ts,
         "tb": range(n),
         "v": vals,
+        "cat": [f"c{i % 3}" for i in range(n)],
         "flag": flags,
         _ORD: ts,
         _SIDE: sides,
@@ -104,12 +117,12 @@ def test_kernel_matches_oracle(c):
 
     kernel = _make_kernel(
         spec_k, AGGS, [a.name for a in AGGS],
-        ["k", "ts", "tb", "v", "flag"], DTYPES,
+        ["k", "ts", "tb", "v", "cat", "flag"], DTYPES,
         {"flag": "__omls_cond0"})
     got = kernel(pdf.copy()).sort_values("tb").reset_index(drop=True)
 
-    prim = pdf[pdf[_SIDE] == 1][["k", "ts", "tb", "v", "flag"]]
-    uni = pdf[pdf[_SIDE] == 0][["k", "ts", "tb", "v", "flag"]]
+    prim = pdf[pdf[_SIDE] == 1][["k", "ts", "tb", "v", "cat", "flag"]]
+    uni = pdf[pdf[_SIDE] == 0][["k", "ts", "tb", "v", "cat", "flag"]]
     exp = oracle_window(
         prim, ["k"], "ts",
         frame=spec_k.frame, start=spec_k.start, end=spec_k.end,
@@ -124,6 +137,13 @@ def test_kernel_matches_oracle(c):
 
     assert len(got) == len(exp)
     for name in DTYPES:
+        if name in STR_AGGS:
+            gs = ["" if v in (None, "") or (isinstance(v, float)
+                  and np.isnan(v)) else str(v) for v in got[name]]
+            es = ["" if v in (None, "") or (isinstance(v, float)
+                  and np.isnan(v)) else str(v) for v in exp[name]]
+            assert gs == es, (name, spec_k, pdf.to_dict("list"), gs, es)
+            continue
         g = pd.to_numeric(got[name], errors="coerce").to_numpy(float)
         e = pd.to_numeric(exp[name], errors="coerce").to_numpy(float)
         ok = (np.isnan(g) & np.isnan(e)) | np.isclose(g, e, rtol=1e-9,
