@@ -446,6 +446,12 @@ def q_scalar_functions(spark, sf_dir):
         S.strcmp("event_type", F.lit("purchase")).alias("cmp_p"),
         _r4(S.nvl2(F.when(F.col("event_type") == "error", F.col("value")),
                      F.lit(-1.0), F.col("value"))).alias("nvl2_v"),
+        # array scalar family (reference default_defs/array_def.cc)
+        S.add_("event_id", F.lit(7)).cast("long").alias("id_add7"),
+        F.size(S.split_array(F.col("props"), F.lit(" ")))
+        .alias("n_props_parts"),
+        F.array_contains(S.split_array(F.col("event_type"), F.lit("u")),
+                         "p").alias("et_has_p"),
     )
 
 
@@ -1054,7 +1060,10 @@ SELECT event_id,
                  WHEN event_type > 'purchase' THEN 1 ELSE 0 END AS INT)
          AS cmp_p,
        ROUND(CASE WHEN event_type = 'error' THEN -1.0 ELSE value END + 0.000001, 4)
-         AS nvl2_v
+         AS nvl2_v,
+       event_id + 7 AS id_add7,
+       CAST(len(str_split(props, ' ')) AS INT) AS n_props_parts,
+       list_contains(str_split(event_type, 'u'), 'p') AS et_has_p
 FROM events
 """,
         "text_features": f"""

@@ -166,6 +166,17 @@ def timestamp_ms(ms) -> Column:
     return F.timestamp_millis(_c(ms))
 
 
+def add_(a, b) -> Column:
+    """OpenMLDB ``add(a, b)`` = a + b (udfs_8h.md)."""
+    return _c(a) + _c(b)
+
+
+def split_array(s, sep) -> Column:
+    """``split_array(str, delim)`` -> array<string>; NULL -> empty array
+    (reference default_defs/array_def.cc semantics, matching fz_split)."""
+    return fz_split(s, sep)
+
+
 # -- registry: OpenMLDB name → builder --------------------------------------
 # One entry per documented scalar (udfs_8h.md); value is either a pyspark
 # function used directly or a wrapper above.
@@ -180,7 +191,7 @@ SCALARS = {
     "ceiling": F.ceil, "truncate": truncate, "degrees": F.degrees,
     "radians": F.radians, "inc": inc, "identity": identity,
     "maximum": maximum, "minimum": minimum, "hash64": hash64,
-    "farm_fingerprint": farm_fingerprint,
+    "farm_fingerprint": farm_fingerprint, "add": add_,
     # string
     "concat": F.concat, "concat_ws": F.concat_ws, "substring": F.substring,
     "substr": F.substring, "strcmp": strcmp, "lower": F.lower,
@@ -192,6 +203,9 @@ SCALARS = {
     "join": fz_join, "fz_join": fz_join, "split": fz_split,
     "fz_split": fz_split, "split_by_key": split_by_key,
     "split_by_value": split_by_value,
+    # array (reference default_defs/array_def.cc)
+    "array_contains": F.array_contains, "split_array": split_array,
+    "size": F.size,
     # date / time
     "year": F.year, "month": F.month, "day": F.dayofmonth,
     "dayofmonth": F.dayofmonth, "dayofweek": dayofweek,

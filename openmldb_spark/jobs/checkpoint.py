@@ -13,8 +13,10 @@ materialize every plan node to ``<dir>/<node>/data`` and skip recompute when
   fingerprints), schema, row counts, per-output-partition metrics (rows/bytes
   per file from parquet footers — metadata-only, no rescan), and wall time;
 - ``run(resume=True)`` skips any stage whose ``_SUCCESS`` exists AND whose
-  recorded fingerprint (stage name + dep fingerprints) is unchanged, so edits
-  upstream invalidate downstream;
+  recorded fingerprint (stage name + stage-function code identity +
+  declared external-input size/mtime + dep fingerprints) is unchanged, so
+  editing a stage function, refreshing source data, or changing anything
+  upstream invalidates it and its downstream;
 - downstream stages read the materialized parquet, not the in-memory lineage —
   a resumed run is bit-identical to a fresh one (asserted in tests).
 
@@ -41,6 +43,54 @@ class Stage:
     name: str
     fn: Callable[..., DataFrame]
     deps: Sequence[str] = field(default_factory=tuple)
+    inputs: Sequence[str] = field(default_factory=tuple)  # external paths
+
+
+def _code_fp(fn: Callable) -> str:
+    """Content fingerprint of a stage function: bytecode + consts +
+    referenced names + closure values + defaults — so editing the stage
+    body (or a captured parameter) invalidates its checkpoint."""
+    h = hashlib.sha256()
+    try:
+        code = fn.__code__
+        h.update(code.co_code)
+        h.update(repr(code.co_consts).encode())
+        h.update(repr(code.co_names).encode())
+        for cell in (fn.__closure__ or ()):
+            try:
+                h.update(repr(cell.cell_contents).encode())
+            except Exception:               # pragma: no cover
+                h.update(b"<cell>")
+        if fn.__defaults__:
+            h.update(repr(fn.__defaults__).encode())
+    except AttributeError:                  # non-plain callables
+        try:
+            import inspect
+            h.update(inspect.getsource(fn).encode())
+        except Exception:                   # pragma: no cover
+            h.update(repr(fn).encode())
+    return h.hexdigest()[:16]
+
+
+def _input_fp(paths: Sequence[str]) -> str:
+    """Identity of declared external inputs: per path, (name, size,
+    mtime_ns) of the path itself and of its direct children (covers
+    parquet directories) — metadata-only, no data scan."""
+    h = hashlib.sha256()
+    for p in paths:
+        h.update(p.encode())
+        try:
+            st = os.stat(p)
+            h.update(f"{st.st_size}:{st.st_mtime_ns}".encode())
+            if os.path.isdir(p):
+                for child in sorted(os.listdir(p)):
+                    cp = os.path.join(p, child)
+                    cs = os.stat(cp)
+                    h.update(f"{child}:{cs.st_size}:"
+                             f"{cs.st_mtime_ns}".encode())
+        except OSError:
+            h.update(b"<missing>")
+    return h.hexdigest()[:16]
 
 
 def _file_metrics(data_dir: str) -> list[dict]:
@@ -85,13 +135,17 @@ class CheckpointedJob:
         self._order: list[str] = []
 
     def stage(self, name: str, fn: Callable[..., DataFrame],
-              deps: Sequence[str] = ()) -> "CheckpointedJob":
+              deps: Sequence[str] = (),
+              inputs: Sequence[str] = ()) -> "CheckpointedJob":
+        """``inputs``: external paths this stage reads (leaf data);
+        their size/mtime identity joins the fingerprint so refreshed
+        source data invalidates the checkpoint."""
         if name in self._stages:
             raise ValueError(f"duplicate stage {name!r}")
         for d in deps:
             if d not in self._stages:
                 raise ValueError(f"stage {name!r} depends on unknown {d!r}")
-        self._stages[name] = Stage(name, fn, tuple(deps))
+        self._stages[name] = Stage(name, fn, tuple(deps), tuple(inputs))
         self._order.append(name)
         return self
 
@@ -106,11 +160,18 @@ class CheckpointedJob:
     def _manifest_path(self, stage: str) -> str:
         return os.path.join(self._dir(stage), "manifest.json")
 
-    # -- fingerprints: stage identity = name + dep fingerprints --------------
+    # -- fingerprints: stage identity = name + CODE + external-input
+    # identity + dep fingerprints, so editing a stage function or
+    # refreshing its source data invalidates it and its downstream
+    # (round-1 advisory: topology-only fingerprints served stale results
+    # after code edits under resume=True) ---------------------------------
 
-    def _fingerprint(self, stage: str, dep_fps: list[str]) -> str:
+    def _fingerprint(self, st: Stage, dep_fps: list[str]) -> str:
         h = hashlib.sha256()
-        h.update(stage.encode())
+        h.update(st.name.encode())
+        h.update(_code_fp(st.fn).encode())
+        if st.inputs:
+            h.update(_input_fp(st.inputs).encode())
         for fp in dep_fps:
             h.update(fp.encode())
         return h.hexdigest()[:16]
@@ -131,7 +192,7 @@ class CheckpointedJob:
         fps: dict[str, str] = {}
         for name in self._order:
             st = self._stages[name]
-            fp = self._fingerprint(name, [fps[d] for d in st.deps])
+            fp = self._fingerprint(st, [fps[d] for d in st.deps])
             fps[name] = fp
             data = self._data(name)
             if resume and self._is_done(name, fp):

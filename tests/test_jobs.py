@@ -115,3 +115,60 @@ def test_submit_job_end_to_end(spark, tmp_path):
     a = pdf.sort_values("event_id").reset_index(drop=True)
     b = out2.toPandas().sort_values("event_id").reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_code_edit_invalidates_stage_and_downstream(spark, tmp_path):
+    """Editing a stage FUNCTION under resume=True recomputes that stage
+    and its downstream (round-1 advisory: topology-only fingerprints
+    served stale results after code edits)."""
+    from openmldb_spark.jobs import CheckpointedJob
+
+    root = str(tmp_path / "ckpt")
+
+    def build(mult):
+        job = CheckpointedJob(spark, root, "j3")
+        job.stage("src", lambda s: s.range(5))
+        job.stage("feat",
+                  lambda s, b: b.select((F.col("id") * mult).alias("v")),
+                  deps=["src"])
+        job.stage("agg", lambda s, f: f.select(F.sum("v").alias("t")),
+                  deps=["feat"])
+        return job
+
+    out1 = build(1).run(resume=True)
+    assert out1["agg"].collect()[0]["t"] == 10
+    # identical rebuild: everything skips (fingerprints stable)
+    m_feat1 = json.load(
+        open(os.path.join(root, "j3", "feat", "manifest.json")))
+    build(1).run(resume=True)
+    m_feat1b = json.load(
+        open(os.path.join(root, "j3", "feat", "manifest.json")))
+    assert m_feat1["finished_at"] == m_feat1b["finished_at"]
+    # change the captured multiplier: feat AND agg recompute
+    out2 = build(3).run(resume=True)
+    assert out2["agg"].collect()[0]["t"] == 30
+
+
+def test_external_input_refresh_invalidates(spark, tmp_path):
+    """Refreshing a declared external input path invalidates the stage."""
+    from openmldb_spark.jobs import CheckpointedJob
+
+    root = str(tmp_path / "ckpt")
+    src_path = str(tmp_path / "src.parquet")
+    spark.range(4).write.mode("overwrite").parquet(src_path)
+
+    def build():
+        job = CheckpointedJob(spark, root, "j4")
+        job.stage("load", lambda s: s.read.parquet(src_path),
+                  inputs=[src_path])
+        job.stage("agg", lambda s, d: d.select(F.sum("id").alias("t")),
+                  deps=["load"])
+        return job
+
+    out1 = build().run(resume=True)
+    assert out1["agg"].collect()[0]["t"] == 6
+    import time as _t
+    _t.sleep(0.05)
+    spark.range(10).write.mode("overwrite").parquet(src_path)
+    out2 = build().run(resume=True)
+    assert out2["agg"].collect()[0]["t"] == 45
