@@ -67,11 +67,14 @@ def _ms(c: str = "ts") -> F.Column:
 # flagship
 
 
-def entry(spark: SparkSession) -> DataFrame:
-    """Flagship: leakage-free per-event feature vector on sf0.001 —
+def entry(spark: SparkSession, sf_dir: str | None = None) -> DataFrame:
+    """Flagship: leakage-free per-event feature vector —
     rolling 1h window aggs + lag + as-of LAST JOIN of the latest prior
-    purchase + gap sessionization (the north-star operator combo)."""
-    ev = _t(spark, SF_DEFAULT, "events")
+    purchase + gap sessionization (the north-star operator combo).
+    ``sf_dir`` defaults to $SPARK_GRAFT_ENTRY_SF or sf0.001."""
+    import os
+    sf_dir = sf_dir or os.environ.get("SPARK_GRAFT_ENTRY_SF", SF_DEFAULT)
+    ev = _t(spark, sf_dir, "events")
     sess = sessionize(ev, "user_id", "ts", gap_ms=30 * 60 * 1000,
                       tiebreak=("event_id",))
     spec = WindowSpecFE(partition_by=["user_id"], order_by="ts",

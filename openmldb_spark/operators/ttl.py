@@ -25,18 +25,27 @@ from openmldb_spark.functions.timeutil import to_ms
 
 
 def time_live(df: DataFrame, ts_col: str, ttl_ms: int,
-              now_ms: int | None = None) -> DataFrame:
+              now_ms: int | None = None, lazy: bool = False) -> DataFrame:
     """kTTLTimeLive: keep rows with ts >= horizon.
 
     ``now_ms`` defaults to the max ts in the frame of reference of the
     *data* (batch semantics: expiry relative to the newest event, so a
     backfill over historical data is reproducible); pass an explicit
     wall-clock ms for online-parity behavior.
+
+    Anchor evaluation: by default the max-ts anchor is one metadata-cheap
+    driver aggregate so the filter stays a LITERAL scan predicate
+    (partition-prunable). ``lazy=True`` instead broadcast-joins the 1-row
+    aggregate so the whole pipeline stays unevaluated until action time
+    (useful when composing plans that must not trigger driver jobs).
     """
     ord_ms = to_ms(df, ts_col)
     if now_ms is None:
-        # one metadata-cheap aggregate to anchor the horizon; the filter
-        # itself stays a scan-level predicate (partition-prunable)
+        if lazy:
+            mx = df.agg(F.max(ord_ms).alias("__ttl_max"))
+            return (df.crossJoin(F.broadcast(mx))
+                      .filter(ord_ms >= F.col("__ttl_max") - F.lit(ttl_ms))
+                      .drop("__ttl_max"))
         mx = df.agg(F.max(ord_ms).alias("m")).collect()[0]["m"]
         if mx is None:
             return df
