@@ -74,6 +74,8 @@ FILES = {
     "query/fz_sql.yaml": 1,
     "query/extream_query.yaml": 1,
     "function/test_feature_zero_function.yaml": 2,
+    "function/data_expiration/test_data_expiration.yaml": 2,
+    "query/parameterized_query.yaml": 6,
 }
 
 _TYPES = {
@@ -158,6 +160,51 @@ def _rows_of(inp):
     raise KeyError("rows")
 
 
+# fixed wall-clock anchor for {currentTime} placeholders (absolute-TTL
+# cases): deterministic, passed to time_live as now_ms
+_CURRENT_TIME_MS = 1_700_000_000_000
+
+_UNITS_MS = {"s": 1000, "m": 60_000, "h": 3_600_000, "d": 86_400_000}
+
+
+def _subst_current_time(rows):
+    out = []
+    for r in rows:
+        rr = []
+        for v in r:
+            if isinstance(v, str) and v.startswith("{currentTime}"):
+                off = v[len("{currentTime}"):]
+                rr.append(_CURRENT_TIME_MS + int(off or 0))
+            else:
+                rr.append(v)
+        out.append(rr)
+    return out
+
+
+def _apply_index_ttl(df, inp):
+    """Index specs carry TTL (``name:key:ts:ttl:latest|absolute``,
+    cases/function/data_expiration/): storage-level expiry in the
+    reference, a logical read-time filter here (operators/ttl.py)."""
+    from openmldb_spark import count_live, time_live
+
+    for spec in (inp.get("indexs") or ([inp["index"]] if "index" in inp
+                                       else [])):
+        parts = str(spec).split(":")
+        if len(parts) != 5:
+            continue
+        _, key, ts, ttl, kind = parts
+        if kind == "latest":
+            df = count_live(df, key, ts, int(ttl))
+        elif kind == "absolute":
+            m = __import__("re").match(r"^(\d+)([smhd]?)$", ttl)
+            ttl_ms = int(m.group(1)) * _UNITS_MS.get(m.group(2) or "ms", 1)
+            # reference expiry: rows with ts <= now - ttl are expired
+            # (golden case 16: the exactly-at-boundary row is gone), i.e.
+            # keep ts > now - ttl == ts >= (now+1) - ttl
+            df = time_live(df, ts, ttl_ms, now_ms=_CURRENT_TIME_MS + 1)
+    return df
+
+
 def _build_df(spark, inp, with_rid):
     if "resource" in inp:
         # shared input tables referenced by path (cases/resource/*.yaml)
@@ -166,8 +213,9 @@ def _build_df(spark, inp, with_rid):
             res = yaml.safe_load(f)["table"]
         inp = {**res, **{k: v for k, v in inp.items() if k != "resource"}}
     schema = _schema(_coldefs_of(inp))
+    raw = _subst_current_time(_rows_of(inp))
     rows = [tuple(_conv(v, f.dataType) for v, f in zip(r, schema.fields))
-            for r in _rows_of(inp)]
+            for r in raw]
     df = spark.createDataFrame(rows, schema)
     if with_rid:
         import pandas as pd
@@ -176,7 +224,7 @@ def _build_df(spark, inp, with_rid):
         df = spark.createDataFrame(
             pdf, T.StructType(list(schema.fields)
                               + [T.StructField(_RID, T.LongType())]))
-    return df
+    return _apply_index_ttl(df, inp)
 
 
 def _values_match(got, exp, dtype_str) -> bool:
@@ -224,6 +272,21 @@ def _run_case(spark, case) -> str:
         return "skip: TODO-tagged (golden output marked broken upstream)"
     if not case.get("sql") or case.get("sqls"):
         return "skip: no single sql"
+    if case.get("parameters"):
+        # parameterized query: bind each ? positionally with a literal
+        try:
+            pvals = _rows_of(case["parameters"])[0]
+            pdefs = _coldefs_of(case["parameters"])
+        except Exception as e:
+            return f"skip: parameters ({e})"
+        sql = case["sql"]
+        for v, d in zip(pvals, pdefs):
+            t = d.rsplit(" ", 1)[1]
+            lit = f"'{v}'" if t in ("string", "date") else str(v)
+            if "?" not in sql:
+                return "skip: parameter arity"
+            sql = sql.replace("?", lit, 1)
+        case = {**case, "sql": sql}
     expect = case.get("expect") or {}
     if expect.get("success") is False:
         return "skip: error-case"

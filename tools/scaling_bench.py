@@ -74,12 +74,23 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--replicas", type=int, default=20)
     ap.add_argument("--levels", type=int, nargs=2, default=[8, 32])
+    ap.add_argument("--repeat", type=int, default=2,
+                    help="min-of-k per level: this host shows 2-3x "
+                         "co-tenant noise windows; min is the standard "
+                         "noisy-host estimator of the true cost")
     args = ap.parse_args()
 
     path = prepare_input(args.replicas)
     lo, hi = args.levels
-    r_lo = run_level(lo, path)
-    r_hi = run_level(hi, path)
+
+    def best(cpus):
+        runs = [run_level(cpus, path) for _ in range(args.repeat)]
+        b = min(runs, key=lambda r: r["wall_s"])
+        b["samples_wall_s"] = [r["wall_s"] for r in runs]
+        return b
+
+    r_lo = best(lo)
+    r_hi = best(hi)
     speedup = r_lo["wall_s"] / r_hi["wall_s"]
     eff = speedup / (hi / lo)
     result = {
