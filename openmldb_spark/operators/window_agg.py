@@ -98,6 +98,13 @@ class Agg:
     cond: str | None = None      # SQL boolean expr for *_where
     n: int | None = None         # lag offset / top-k / topn
     cate: str | None = None      # category column for *_cate
+    # FeatureZero window-split composition (fz_window_split* consumed by
+    # an outer aggregate — default_defs/feature_zero_def.cc): each frame
+    # row contributes its SPLIT TOKENS instead of one value
+    split_sep: str | None = None     # element delimiter
+    split_kv: str | None = None      # kv delimiter (by_key / by_value)
+    split_mode: str | None = None    # None | "all" | "key" | "value"
+    join_sep: str | None = None      # fz_join output separator
 
 
 @dataclass
@@ -150,12 +157,14 @@ _WIDEN = {
 
 
 def _agg_out_type(a: Agg, in_schema: T.StructType) -> T.DataType:
-    if a.fn in ("count", "count_where", "distinct_count"):
+    if a.fn in ("count", "count_where", "distinct_count",
+                "count_split", "distinct_count_split"):
         return T.LongType()
-    if a.fn in ("avg", "avg_where", "top1_ratio"):
+    if a.fn in ("avg", "avg_where", "top1_ratio", "top1_ratio_split"):
         return T.DoubleType()
     if a.fn in ("top", "topn_frequency", "count_cate", "sum_cate",
-                "avg_cate", "min_cate", "max_cate"):
+                "avg_cate", "min_cate", "max_cate", "join_split",
+                "topn_frequency_split"):
         return T.StringType()
     src = in_schema[a.col].dataType
     if a.fn in ("sum", "sum_where"):
@@ -213,8 +222,11 @@ def _native_expr(a: Agg, w, w_unb) -> Column:
 _NATIVE_FNS = {"count", "sum", "avg", "min", "max", "count_where",
                "sum_where", "avg_where", "min_where", "max_where",
                "distinct_count", "first_value", "lag", "top"}
+_SPLIT_FNS = {"distinct_count_split", "count_split", "join_split",
+              "top1_ratio_split", "topn_frequency_split"}
 _ALL_FNS = _NATIVE_FNS | {"topn_frequency", "top1_ratio", "count_cate",
-                          "sum_cate", "avg_cate", "min_cate", "max_cate"}
+                          "sum_cate", "avg_cate", "min_cate",
+                          "max_cate"} | _SPLIT_FNS
 
 
 # ---------------------------------------------------------------------------
@@ -251,6 +263,49 @@ def _range_q(tabs, lo: np.ndarray, hi: np.ndarray, op) -> np.ndarray:
     return out
 
 
+def _tokenize(vals, sep: str, kv: str | None, mode: str):
+    """Per-row FeatureZero split tokens (feature_zero_def.cc semantics,
+    pinned by test_feature_zero_function.yaml#1): NULL -> no tokens;
+    empty tokens kept in "all" mode; by_key/by_value keep only elements
+    containing the kv delimiter (key = piece before the FIRST kv, value
+    = the SECOND kv-piece)."""
+    out = np.empty(len(vals), dtype=object)
+    for j, v in enumerate(vals):
+        if v is None or (isinstance(v, float) and np.isnan(v)):
+            out[j] = []
+            continue
+        parts = str(v).split(sep)
+        if mode == "key":
+            out[j] = [p.split(kv)[0] for p in parts if kv in p]
+        elif mode == "value":
+            out[j] = [p.split(kv)[1] for p in parts if kv in p]
+        else:
+            out[j] = parts
+    return out
+
+
+def _fz_fmt_for(src_type: str | None):
+    """FeatureZero key/output formatting (feature_zero_def.cc, pinned by
+    test_feature_zero_function.yaml#4): NULL -> "NULL", integral types
+    plain, floating types %.6f, strings as-is."""
+    is_float = bool(src_type) and src_type in ("float", "double")
+    is_int = bool(src_type) and src_type in ("smallint", "int", "bigint")
+
+    def fmt(v):
+        if v is None or v != v:      # NaN-safe for float32/64/NaT
+            return "NULL"
+        if is_float:
+            return f"{float(v):.6f}"
+        if is_int:
+            return str(int(v))
+        if isinstance(v, (np.floating, float)):
+            return f"{float(v):.6f}"
+        if isinstance(v, (np.integer, int)):
+            return str(int(v))
+        return str(v)
+    return fmt
+
+
 def _fmt_num(v) -> str:
     if v is None:
         return "null"
@@ -262,7 +317,8 @@ def _fmt_num(v) -> str:
 
 def _make_kernel(spec: WindowSpecFE, aggs: list[Agg], out_cols: list[str],
                  passthrough: list[str], dtypes: dict[str, str],
-                 cond_cols: dict[str, str]):
+                 cond_cols: dict[str, str],
+                 src_types: dict[str, str] | None = None):
     """Build the applyInPandas kernel. Everything the kernel needs is
     captured by value (plain python objects) — no Spark objects."""
     frame = spec.frame
@@ -276,6 +332,10 @@ def _make_kernel(spec: WindowSpecFE, aggs: list[Agg], out_cols: list[str],
     has_union = inst_not  # mask to union rows only when instance_not_in_window
     tiebreak = list(spec.tiebreak)
     agg_specs = [(a.name, a.fn, a.col, a.cond, a.n, a.cate) for a in aggs]
+    split_params = {a.name: (a.split_sep, a.split_kv, a.split_mode,
+                             a.join_sep)
+                    for a in aggs if a.fn in _SPLIT_FNS}
+    src_types = src_types or {}
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values([_ORD, _SIDE] + tiebreak,
@@ -383,6 +443,7 @@ def _make_kernel(spec: WindowSpecFE, aggs: list[Agg], out_cols: list[str],
         # ---- prefix structures per referenced column
         cols_needed = {c for (_, fn, c, _, _, _) in agg_specs if c} | \
                       {ct for (_, _, _, _, _, ct) in agg_specs if ct}
+        tok_cache: dict = {}
         arr: dict[str, np.ndarray] = {}
         for c in cols_needed:
             s = pdf[c]
@@ -420,6 +481,49 @@ def _make_kernel(spec: WindowSpecFE, aggs: list[Agg], out_cols: list[str],
 
         for (name, fn, col, cond, nn, cate) in agg_specs:
             extra = cond_mask.get(cond) if cond else None
+            if fn in _SPLIT_FNS:
+                sep, kv, mode, jsep = split_params[name]
+                tkey = (col, sep, kv, mode)
+                if tkey not in tok_cache:
+                    tok_cache[tkey] = _tokenize(arr[col], sep, kv, mode)
+                toks = tok_cache[tkey]
+                if fn == "join_split":
+                    # ordered concat, NEWEST row first, each row's tokens
+                    # in order; token-less rows contribute nothing
+                    # (golden: split_and_join). O(frame) per row — used
+                    # for golden parity; the groupBy-level API
+                    # (aggregates.window_split_agg) is the scale path.
+                    row_str = [(jsep.join(t) if t else None) for t in toks]
+                    res_l = [None] * m
+                    for i in range(m):
+                        if not emit[i]:
+                            continue
+                        parts = []
+                        if self_add and row_str[i] is not None:
+                            parts.append(row_str[i])
+                        j0, j1 = int(lo[i]), int(chi[i])
+                        for j in range(j1, j0 - 1, -1):
+                            if has_union and not mask[j]:
+                                continue
+                            if row_str[j] is not None:
+                                parts.append(row_str[j])
+                        res_l[i] = jsep.join(parts) if parts else ""
+                    out[name] = res_l
+                    continue
+                state = _SlidingMultiset(fn, None, None, None,
+                                         mask if has_union else None, nn,
+                                         tokens=toks)
+                res_l = [None] * m
+                for i in range(m):
+                    if not emit[i]:
+                        continue
+                    l, h = int(lo[i]), int(chi[i])
+                    if h < l:
+                        l, h = 0, -1
+                    state.slide(l, h)
+                    res_l[i] = state.result(i if self_add else None)
+                out[name] = res_l
+                continue
             if fn == "lag":
                 # lag(n) = value of the n-th NEWEST row in the window
                 # BUFFER (default_defs/window_functions_def.cc:96): union
@@ -427,7 +531,10 @@ def _make_kernel(spec: WindowSpecFE, aggs: list[Agg], out_cols: list[str],
                 # current-ts rows, INSTANCE_NOT_IN_WINDOW drops primary
                 # rows — NOT a plain partition shift (goldens
                 # window_attributes.yaml#9, test_window_union.yaml#19)
-                nn_ = nn or 1
+                nn_ = 1 if nn is None else nn
+                if nn_ == 0:      # at(col, 0) = the current row's value
+                    out[name] = np.asarray(arr[col], dtype=object)
+                    continue
                 elig = mask if has_union else np.ones(m, dtype=bool)
                 cum_e = np.cumsum(elig.astype(np.int64))
                 elig_idx = np.flatnonzero(elig)
@@ -541,7 +648,9 @@ def _make_kernel(spec: WindowSpecFE, aggs: list[Agg], out_cols: list[str],
             notna = vobj.notna().to_numpy() if vobj is not None else None
             state = _SlidingMultiset(
                 fn, vals, cvals, notna,
-                mask if has_union else None, nn)
+                mask if has_union else None, nn,
+                key_fmt=(_fz_fmt_for(src_types.get(name))
+                         if fn == "topn_frequency" else None))
             res_l: list = [None] * m
             for i in range(m):
                 if not emit[i]:
@@ -592,9 +701,15 @@ class _SlidingMultiset:
     includes it.
     """
 
-    def __init__(self, fn, vals, cvals, notna, mask, nn):
+    def __init__(self, fn, vals, cvals, notna, mask, nn,
+                 tokens=None, key_fmt=None):
         self.fn, self.vals, self.cvals = fn, vals, cvals
         self.notna, self.mask, self.nn = notna, mask, nn
+        self.tokens = tokens         # FeatureZero split mode: each row
+                                     # contributes its token list
+        # topn_frequency counts NULL rows under the key "NULL" and
+        # formats values FeatureZero-style (goldens #4)
+        self.key_fmt = key_fmt
         self.lo, self.hi = 0, -1
         self.cnt: dict = {}
         self.total = 0
@@ -606,6 +721,10 @@ class _SlidingMultiset:
     def _ok(self, j, ignore_mask=False):
         if not ignore_mask and self.mask is not None and not self.mask[j]:
             return False
+        if self.tokens is not None:
+            return True              # empty token lists add nothing
+        if self.key_fmt is not None:
+            return True              # NULL rows count under key "NULL"
         if self.notna is not None and not self.notna[j]:
             return False
         if self.is_cate:
@@ -616,10 +735,17 @@ class _SlidingMultiset:
 
     def _key(self, j):
         v = self.vals[j]
+        if self.key_fmt is not None:
+            return self.key_fmt(v)
         return str(v) if self.fn in ("topn_frequency", "top1_ratio") else v
 
     def _add(self, j, ignore_mask=False):
         if not self._ok(j, ignore_mask):
+            return
+        if self.tokens is not None:
+            for t in self.tokens[j]:
+                self.cnt[t] = self.cnt.get(t, 0) + 1
+                self.total += 1
             return
         if self.is_cate:
             k = str(self.cvals[j])
@@ -636,6 +762,15 @@ class _SlidingMultiset:
 
     def _evict(self, j, ignore_mask=False):
         if not self._ok(j, ignore_mask):
+            return
+        if self.tokens is not None:
+            for t in self.tokens[j]:
+                c = self.cnt[t] - 1
+                if c:
+                    self.cnt[t] = c
+                else:
+                    del self.cnt[t]
+                self.total -= 1
             return
         if self.is_cate:
             k = str(self.cvals[j])
@@ -689,6 +824,10 @@ class _SlidingMultiset:
 
     def _finalize(self):
         fn = self.fn
+        if fn.endswith("_split"):
+            fn = fn[:-6]             # shared finalizers with row mode
+        if fn == "count":            # count over split tokens
+            return int(self.total)
         if fn == "distinct_count":
             return int(len(self.cnt))
         if fn == "top":
@@ -702,12 +841,19 @@ class _SlidingMultiset:
             return ",".join(_fmt_num(x) if isinstance(x, (int, float))
                             else str(x) for x in xs)
         if fn == "top1_ratio":
+            # empty frame / all-null input -> 0, not NULL (golden
+            # test_feature_zero_function.yaml#3)
             return (max(self.cnt.values()) / self.total) \
-                if self.total else None
+                if self.total else 0.0
         if fn == "topn_frequency":
+            if not self.cnt:
+                return ""
+            k = self.nn or 1
             ordered = sorted(self.cnt.items(),
                              key=lambda kv: (-kv[1], kv[0]))
-            return ",".join(key for key, _ in ordered[: (self.nn or 1)])
+            keys = [key for key, _ in ordered[:k]]
+            keys += ["NULL"] * (k - len(keys))     # pad to n (golden #4)
+            return ",".join(keys)
         parts = []
         for k in sorted(self.cats):
             if fn == "count_cate":
@@ -922,8 +1068,10 @@ def _kernel_exec(df: DataFrame, spec: WindowSpecFE, aggs: list[Agg],
         out_fields.append(T.StructField(a.name, t, True))
     out_schema = T.StructType(out_fields)
 
+    src_types = {a.name: in_schema[a.col].dataType.simpleString()
+                 for a in aggs if a.col and a.col in in_schema.names}
     kernel = _make_kernel(spec, aggs, [a.name for a in aggs], passthrough,
-                          dtypes, cond_cols)
+                          dtypes, cond_cols, src_types)
     sel_cols = list(dict.fromkeys(
         passthrough + [_ORD, _SIDE, _EMIT] + group_keys +
         [c for c in spec.tiebreak] + list(cond_cols.values())))

@@ -169,10 +169,153 @@ class _Item:
     expr: str | None = None          # non-window scalar expression (SQL)
     arg_expr: str | None = None      # agg input as expression (SQL)
     post: str | None = None          # expression suffix around the agg
+    hidden: list | None = None       # [(hidden_name, Agg)] inside expr
 
 
 _AGG_ALIASES = {"at": "lag", "fz_top1_ratio": "top1_ratio",
                 "fz_topn_frequency": "topn_frequency"}
+
+# FeatureZero window-split inner calls -> (mode, arity)
+_SPLIT_INNER = {
+    "fz_window_split": ("all", 2), "window_split": ("all", 2),
+    "fz_window_split_by_key": ("key", 3), "window_split_by_key": ("key", 3),
+    "fz_window_split_by_value": ("value", 3),
+    "window_split_by_value": ("value", 3),
+}
+# outer aggregate over a split list -> kernel fn
+_SPLIT_OUTER = {"distinct_count": "distinct_count_split",
+                "count": "count_split", "top1_ratio": "top1_ratio_split",
+                "topn_frequency": "topn_frequency_split",
+                "fz_join": "join_split", "join": "join_split"}
+
+
+def _unquote(s: str) -> str:
+    s = s.strip()
+    if len(s) >= 2 and s[0] == s[-1] and s[0] in "'\"":
+        return s[1:-1]
+    raise UnsupportedSQL(f"expected string literal, got {s!r}")
+
+
+def _parse_split_inner(text: str):
+    mc = re.match(r"(?is)^(\w+)\s*\(\s*(.*)\s*\)$", text.strip())
+    if not mc or mc.group(1).lower() not in _SPLIT_INNER:
+        return None
+    mode, arity = _SPLIT_INNER[mc.group(1).lower()]
+    args = [a.strip() for a in _split_top_level(mc.group(2))]
+    if len(args) != arity:
+        raise UnsupportedSQL(f"{mc.group(1)} arity {len(args)}")
+    col = _strip_table(args[0])
+    sep = _unquote(args[1])
+    kv = _unquote(args[2]) if arity == 3 else None
+    return col, sep, kv, mode
+
+
+def _parse_agg_call(name: str, argstext: str, alias: str) -> Agg | None:
+    """Build an Agg from ``fn(args)`` if fn is an aggregate (including
+    the FeatureZero split compositions); None if fn is not an agg."""
+    fn = _AGG_ALIASES.get(name.lower(), name.lower())
+    args = [a.strip() for a in _split_top_level(argstext)] \
+        if argstext.strip() else []
+    inner = _parse_split_inner(args[0]) if args else None
+    if inner is not None:
+        if fn not in _SPLIT_OUTER:
+            raise UnsupportedSQL(f"{fn} over a window-split list")
+        col, sep, kv, mode = inner
+        n = jsep = None
+        if fn == "topn_frequency":
+            n = int(args[1])
+        elif fn in ("fz_join", "join"):
+            jsep = _unquote(args[1])
+        return Agg(alias, _SPLIT_OUTER[fn], col, n=n, split_sep=sep,
+                   split_kv=kv, split_mode=mode, join_sep=jsep)
+    if fn not in _AGG_FNS:
+        return None
+    col = cond = None
+    n = None
+    arg_expr = None
+    if args:
+        if args[0] == "*":
+            col = None
+        else:
+            try:
+                col = _strip_table(args[0])
+            except UnsupportedSQL:
+                arg_expr = args[0]     # expression input
+    if fn in ("lag", "top", "topn_frequency") and len(args) > 1:
+        try:
+            n = int(args[1])
+        except ValueError:
+            raise UnsupportedSQL(f"non-literal count arg {args[1]!r}")
+    elif fn.endswith("_where") and len(args) > 1:
+        cond = args[1]
+    elif len(args) > 1:
+        raise UnsupportedSQL(f"extra agg args {args!r}")
+    a = Agg(alias, fn, col, cond=cond, n=n)
+    a._arg_expr = arg_expr            # picked up by the item builder
+    return a
+
+
+def _extract_window_aggs(text: str, sink: list,
+                         prefix: str = "__wagg") -> str:
+    """Replace aggregate calls inside an expression with hidden column
+    refs (collected into ``sink``); recurses into non-aggregate calls —
+    the reference allows e.g. ``identity(CASE WHEN isnull(lag(c, 0))
+    THEN ... ELSE distinct_count(fz_window_split(c, ',')) END)`` over a
+    window (test_feature_zero_function.yaml#1, fz_sql.yaml)."""
+    out: list[str] = []
+    i, n = 0, len(text)
+    while i < n:
+        ch = text[i]
+        if ch in "'\"":
+            j = i + 1
+            while j < n and text[j] != ch:
+                j += 1
+            out.append(text[i:j + 1])
+            i = j + 1
+            continue
+        m = _IDENT_RE.match(text, i)
+        if not m:
+            out.append(ch)
+            i += 1
+            continue
+        name = m.group(0)
+        j = m.end()
+        k = j
+        while k < n and text[k].isspace():
+            k += 1
+        if k < n and text[k] == "(":
+            depth, p = 1, k + 1
+            while p < n and depth:
+                c = text[p]
+                if c in "'\"":
+                    q = p + 1
+                    while q < n and text[q] != c:
+                        q += 1
+                    p = q
+                elif c == "(":
+                    depth += 1
+                elif c == ")":
+                    depth -= 1
+                p += 1
+            inner = text[k + 1:p - 1]
+            hid = f"{prefix}_{len(sink)}"
+            agg = _parse_agg_call(name, inner, hid)
+            if agg is not None:
+                if getattr(agg, "_arg_expr", None):
+                    raise UnsupportedSQL(
+                        f"expression input inside nested agg {name}")
+                sink.append((hid, agg))
+                out.append(hid)
+            else:
+                out.append(name)
+                out.append("(")
+                out.append(_extract_window_aggs(inner, sink, prefix))
+                out.append(")")
+            i = p
+            continue
+        out.append(name)
+        i = j
+    return "".join(out)
 
 
 def _parse_item(item: str) -> _Item:
@@ -187,38 +330,28 @@ def _parse_item(item: str) -> _Item:
     if m:
         call, win, post, alias = (m.group(1), m.group(2),
                                   m.group(3).strip() or None, alias0)
-        mc = re.match(r"(?is)^(\w+)\s*\(\s*(.*?)\s*\)$", call.strip())
+        mc = re.match(r"(?is)^(\w+)\s*\(\s*(.*)\s*\)$", call.strip())
         if not mc:
             raise UnsupportedSQL(f"agg call {call!r}")
-        fn = mc.group(1).lower()
-        fn = _AGG_ALIASES.get(fn, fn)
-        if fn not in _AGG_FNS:
-            raise UnsupportedSQL(f"agg fn {fn!r}")
-        args = [a.strip() for a in _split_top_level(mc.group(2))] \
-            if mc.group(2) else []
-        col = arg_expr = cond = None
-        n = None
-        if args:
-            if args[0] == "*":
-                col = None
-            else:
-                try:
-                    col = _strip_table(args[0])
-                except UnsupportedSQL:
-                    arg_expr = args[0]     # expression input
-        if fn in ("lag", "top", "topn_frequency") and len(args) > 1:
-            try:
-                n = int(args[1])
-            except ValueError:
-                raise UnsupportedSQL(f"non-literal count arg {args[1]!r}")
-        elif fn.endswith("_where") and len(args) > 1:
-            cond = args[1]
-        elif len(args) > 1:
-            raise UnsupportedSQL(f"extra agg args {args!r}")
-        alias = alias or f"{fn}_{col}"
-        return _Item(alias=alias,
-                     agg=Agg(alias, fn, col, cond=cond, n=n), win=win,
-                     arg_expr=arg_expr, post=post)
+        agg = _parse_agg_call(mc.group(1), mc.group(2), alias or "_")
+        if agg is not None:
+            alias = alias or f"{agg.fn}_{agg.col}"
+            agg.name = alias
+            arg_expr = getattr(agg, "_arg_expr", None)
+            return _Item(alias=alias, agg=agg, win=win,
+                         arg_expr=arg_expr, post=post)
+        # windowed EXPRESSION: aggs embedded in a scalar expression
+        sink: list = []
+        newtext = _extract_window_aggs(call.strip(), sink,
+                                       prefix=f"__wagg_{alias or win}")
+        if not sink:
+            raise UnsupportedSQL(f"no aggregate in windowed item {it!r}")
+        if not alias:
+            raise UnsupportedSQL(f"windowed expression without alias: "
+                                 f"{item!r}")
+        if post:
+            newtext = f"({newtext}) {post}"
+        return _Item(alias=alias, win=win, expr=newtext, hidden=sink)
     m = re.match(r"(?i)^(\S+)$", it)
     if m:
         try:
@@ -299,7 +432,10 @@ def run_windowed_sql(sql: str, tables: list[DataFrame]) -> DataFrame:
 
     out = prim
     for wname, w in wins.items():
-        aggs = [it.agg for it in items if it.win == wname]
+        aggs = [it.agg for it in items if it.win == wname and it.agg]
+        for it in items:
+            if it.win == wname and it.hidden:
+                aggs.extend(a for _, a in it.hidden)
         if not aggs:
             continue
         union_dfs = []

@@ -71,15 +71,29 @@ def _apply_aggs(aggs, g, fr, i, row, buf_js=None):
             xs = sorted(nn, reverse=True)[:k]
             row[name] = ",".join(_fmt(x) for x in xs)
         elif fn == "topn_frequency":
+            # FeatureZero semantics (goldens #4): NULL rows count under
+            # "NULL", floats %.6f, pad to n with "NULL"; empty -> ""
             from collections import Counter
-            cnt = Counter(str(v) for v in nn)
-            row[name] = ",".join(
-                k2 for k2, _ in sorted(cnt.items(),
-                                       key=lambda kv: (-kv[1], kv[0]))[:extra])
+
+            def fzf(v):
+                if v is None or (isinstance(v, float) and np.isnan(v)):
+                    return "NULL"
+                if isinstance(v, float):
+                    return f"{v:.6f}"
+                return str(v)
+            cnt = Counter(fzf(v) for v in vals)
+            if not cnt:
+                row[name] = ""
+            else:
+                ks = [k2 for k2, _ in sorted(
+                    cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:extra]]
+                ks += ["NULL"] * (extra - len(ks))
+                row[name] = ",".join(ks)
         elif fn == "top1_ratio":
             from collections import Counter
             cnt = Counter(str(v) for v in nn)
-            row[name] = (max(cnt.values()) / sum(cnt.values())) if cnt else None
+            row[name] = (max(cnt.values()) / sum(cnt.values())) \
+                if cnt else 0.0
         elif fn in ("count_cate", "sum_cate", "avg_cate",
                     "min_cate", "max_cate"):
             acc = {}

@@ -71,9 +71,9 @@ FILES = {
     "query/last_join_query.yaml": 7,
     "query/last_join_window_query.yaml": 3,
     "query/window_with_union_query.yaml": 2,
-    "query/fz_sql.yaml": 1,
+    "query/fz_sql.yaml": 2,
     "query/extream_query.yaml": 1,
-    "function/test_feature_zero_function.yaml": 2,
+    "function/test_feature_zero_function.yaml": 4,
     "function/data_expiration/test_data_expiration.yaml": 2,
     "query/parameterized_query.yaml": 6,
 }
