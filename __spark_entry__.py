@@ -517,6 +517,17 @@ def q_lsh_topk(spark, sf_dir):
                       _r4("cosine").alias("cosine"))
 
 
+def q_near_dup_pairs(spark, sf_dir):
+    """Embedding-cosine near-dup via hyperplane-LSH buckets (dedup.py).
+    Threshold tuned to the synthetic corpus (near-random vectors, max
+    cosine ~0.51) so the result set is non-trivial."""
+    from openmldb_spark.pipeline.dedup import embedding_near_dup_pairs
+    emb = _t(spark, sf_dir, "embeddings")
+    out = embedding_near_dup_pairs(emb, threshold=0.3, num_planes=4,
+                                   seed=42)
+    return out.select("id_a", "id_b", _r4("cosine").alias("cosine"))
+
+
 def q_media_features(spark, sf_dir):
     """Media plumbing with scalar outputs: the driver's canonicalizer
     can't sort array columns, so the 8 pseudo-features are flattened to
@@ -573,6 +584,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_pairs": q_minhash_pairs,
         "simhash": q_simhash,
         "lsh_topk": q_lsh_topk,
+        "near_dup_pairs": q_near_dup_pairs,
         "media_features": q_media_features,
     }
 
@@ -701,6 +713,40 @@ def _media_oracle_sql() -> str:
 WITH h AS (SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
                   sha256(text) AS hx FROM documents)
 SELECT doc_id, n_bytes, {", ".join(feats)} FROM h
+"""
+
+
+def _near_dup_oracle_sql() -> str:
+    """Same exact hyperplane-bucket CTEs as the lsh_topk oracle, but the
+    candidate set is within-bucket PAIRS filtered by exact cosine."""
+    from openmldb_spark.pipeline.similarity import plane_matrix
+    pm = plane_matrix(4, 64, 42)
+    dots = []
+    for p in range(4):
+        lit = "[" + ",".join(repr(float(x)) for x in pm[p]) + "]"
+        dots.append(
+            f"list_reduce(list_transform(range(1, 65), i -> "
+            f"CAST(embedding[CAST(i AS INT)] AS DOUBLE) * "
+            f"({lit})[CAST(i AS INT)]), (x, y) -> x + y) AS d{p}")
+    return f"""
+WITH base AS (SELECT vec_id, embedding, {", ".join(dots)} FROM embeddings),
+bt AS (SELECT vec_id, embedding,
+       (CASE WHEN d0>0 THEN 1 ELSE 0 END + CASE WHEN d1>0 THEN 2 ELSE 0 END
+      + CASE WHEN d2>0 THEN 4 ELSE 0 END + CASE WHEN d3>0 THEN 8 ELSE 0 END)
+       AS bucket
+       FROM base),
+pr AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+    list_sum(list_transform(generate_series(1, len(a.embedding)),
+      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+    / (sqrt(list_sum(list_transform(a.embedding,
+         v -> CAST(v AS DOUBLE)*CAST(v AS DOUBLE))))
+       * sqrt(list_sum(list_transform(b.embedding,
+         v -> CAST(v AS DOUBLE)*CAST(v AS DOUBLE))))) AS cosine
+  FROM bt a JOIN bt b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, ROUND(cosine + 0.000001, 4) AS cosine
+FROM pr WHERE cosine >= 0.3
 """
 
 
@@ -1119,6 +1165,7 @@ WHERE rank <= 5
         "simhash": _simhash_oracle_sql(),
         "media_features": _media_oracle_sql(),
         "lsh_topk": _lsh_topk_oracle_sql(),
+        "near_dup_pairs": _near_dup_oracle_sql(),
     }
 
 
