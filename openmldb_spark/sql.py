@@ -380,11 +380,16 @@ def translate(sql: str) -> tuple[list[_Item], dict[str, _Win], int | None]:
         anon[name] = _parse_window(name, mm.group(1))
         return f"over {name}"
     s = re.sub(r"(?i)\bover\s*\(([^()]*)\)", lift, s)
+    # trivial UNION subqueries: (select * from {N}) == {N}
+    s = re.sub(r"(?i)\(\s*select\s+\*\s+from\s+\{(\d+)\}\s*\)",
+               r"{\1}", s)
+    s = re.sub(r"`\{(\d+)\}`", r"{\1}", s)   # backticked table names
     m = re.match(r"(?i)^select\s+(.+?)\s+from\s+(?:\{0\}|`?\w+`?)\s*"
                  r"(?:window\s+(.+))?$", s)
     if not m:
         raise UnsupportedSQL("not a simple windowed SELECT")
-    items = [_parse_item(i.strip()) for i in _split_top_level(m.group(1))]
+    items = [_parse_item(i.strip())
+             for i in _split_top_level(m.group(1)) if i.strip()]
     wins: dict[str, _Win] = dict(anon)
     if m.group(2):
         for wdef in _split_top_level(m.group(2)):
@@ -821,8 +826,9 @@ _FN_TEMPLATES = {
     # TIMESTAMP arg out of the bigint branch (its non-ANSI bigint cast
     # would yield epoch SECONDS and silently shift the instant).
     "timestamp": ("coalesce(timestamp_millis(try_cast(CASE WHEN "
-                  "try_cast({0} AS STRING) RLIKE '^-?[0-9]+$' THEN {0} "
-                  "END as bigint)), try_cast({0} as timestamp))"),
+                  "try_cast({0} AS STRING) RLIKE '^-?[0-9]+$' THEN "
+                  "try_cast({0} AS STRING) END as bigint)), "
+                  "try_cast({0} as timestamp))"),
     "inc": "({0} + 1)",
     "identity": "({0})",
     "add": "({0} + {1})",
@@ -853,6 +859,12 @@ _FN_TEMPLATES = {
         " __kv -> size(split(__kv, {2})) >= 2),"
         " __kv -> element_at(split(__kv, {2}), 2)), array())"),
     "hash64": "xxhash64({0})",
+    # NULL probe matches a NULL element; not-found is false (never NULL)
+    "array_contains": ("(CASE WHEN ({1}) IS NULL THEN "
+                       "exists({0}, __x -> __x IS NULL) "
+                       "ELSE coalesce(array_contains({0}, {1}), false) "
+                       "END)"),
+    "split_array": "coalesce(split({0}, {1}), array())",
     "farm_fingerprint": "xxhash64({0})",
 }
 _FN_TEMPLATES["split_by_key"] = _FN_TEMPLATES["fz_split_by_key"]
@@ -901,8 +913,12 @@ def _apply_fn(name: str, args: list[str]) -> str:
     if ln == "atan" and len(args) == 2:      # OpenMLDB atan(y, x) = atan2
         return f"atan2({args[0]}, {args[1]})"
     if ln == "like_match" and len(args) == 3:
+        if args[2] in ("''", '""'):      # empty escape = no escaping
+            return f"({args[0]} LIKE {args[1]})"
         return f"({args[0]} LIKE {args[1]} ESCAPE {args[2]})"
     if ln == "ilike_match" and len(args) == 3:
+        if args[2] in ("''", '""'):
+            return f"({args[0]} ILIKE {args[1]})"
         return f"({args[0]} ILIKE {args[1]} ESCAPE {args[2]})"
     t = _FN_TEMPLATES.get(ln)
     if t is not None:
@@ -974,6 +990,20 @@ def rewrite_expr(text: str, ident_map: dict[str, str] | None = None) -> str:
             out.append(name)
         i = j
     return "".join(out)
+
+
+def _rewrite_array_literals(text: str) -> str:
+    """OpenMLDB array literals: ``[a, b]`` and ``ARRAY<T>[a, b]`` ->
+    Spark ``array(...)`` (typed form cast)."""
+    def typed(m):
+        ty = _CAST_FNS.get(m.group(1).lower(), m.group(1).upper())
+        inner = m.group(2).strip()
+        body = f"array({inner})" if inner else "array()"
+        return f"CAST({body} AS ARRAY<{ty}>)"
+    text = re.sub(r"(?i)\bARRAY\s*<\s*(\w+)\s*>\s*\[([^\]]*)\]",
+                  typed, text)
+    text = re.sub(r"\[([^\]]*)\]", r"array(\1)", text)
+    return text
 
 
 def _arith_operand_wrappers(schema) -> dict[str, str]:
@@ -1301,6 +1331,7 @@ def run_general_sql(spark, sql: str, tables: list[DataFrame],
         return spark.sql(final)
 
     s2 = re.sub(r"\{(\d+)\}", lambda mm: f"__t{mm.group(1)}", s)
+    s2 = _rewrite_array_literals(s2)
     s2 = rewrite_expr(s2)
     tm_all: dict[str, str] = {}
     for i, t in enumerate(tables):

@@ -32,42 +32,42 @@ CASE_DIR = "/root/reference/cases"
 
 FILES = {
     # file -> minimum number of cases that must pass
-    "function/window/test_window_row_range.yaml": 25,
+    "function/window/test_window_row_range.yaml": 38,
     "function/window/test_window_row.yaml": 20,
-    "function/window/test_maxsize.yaml": 8,
+    "function/window/test_maxsize.yaml": 20,
     # 13 of 19 cases are offline-unsupport in the reference itself
     "function/window/test_window_exclude_current_time.yaml": 5,
-    "function/window/test_window_union.yaml": 5,
-    "function/window/test_current_row.yaml": 10,
-    "function/window/window_attributes.yaml": 5,
-    "function/window/test_window.yaml": 5,
-    "function/join/test_lastjoin_simple.yaml": 10,
+    "function/window/test_window_union.yaml": 19,
+    "function/window/test_current_row.yaml": 19,
+    "function/window/window_attributes.yaml": 8,
+    "function/window/test_window.yaml": 25,
+    "function/join/test_lastjoin_simple.yaml": 23,
     "function/cluster/test_window_row.yaml": 3,
     "function/cluster/test_window_row_range.yaml": 2,
-    "function/join/test_lastjoin_complex.yaml": 4,
-    "function/cluster/window_and_lastjoin.yaml": 2,
+    "function/join/test_lastjoin_complex.yaml": 6,
+    "function/cluster/window_and_lastjoin.yaml": 3,
     # general-SELECT path (expression transpiler -> spark.sql); minimums
     # calibrated to current pass counts minus a small buffer — note one
     # "case" often fans out to 5-8 dataProvider variants, each verified
     "function/expression/test_arithmetic.yaml": 15,
-    "function/expression/test_condition.yaml": 11,
-    "function/expression/test_logic.yaml": 2,
-    "function/expression/test_predicate.yaml": 10,
-    "function/expression/test_like.yaml": 14,
-    "function/expression/test_type.yaml": 8,
-    "function/select/test_select_sample.yaml": 9,
+    "function/expression/test_condition.yaml": 12,
+    "function/expression/test_logic.yaml": 3,
+    "function/expression/test_predicate.yaml": 11,
+    "function/expression/test_like.yaml": 15,
+    "function/expression/test_type.yaml": 9,
+    "function/select/test_select_sample.yaml": 10,
     "function/select/test_sub_select.yaml": 5,
     "function/select/test_where.yaml": 5,
-    "query/const_query.yaml": 8,
-    "query/simple_query.yaml": 30,
-    "query/operator_query.yaml": 6,
-    "query/udf_query.yaml": 9,
+    "query/const_query.yaml": 9,
+    "query/simple_query.yaml": 35,
+    "query/operator_query.yaml": 7,
+    "query/udf_query.yaml": 16,
     "query/group_query.yaml": 4,
     "query/having_query.yaml": 5,
     "query/where_group_query.yaml": 3,
-    "query/limit.yaml": 10,
-    "query/udaf_query.yaml": 3,
-    "query/window_query.yaml": 12,
+    "query/limit.yaml": 13,
+    "query/udaf_query.yaml": 4,
+    "query/window_query.yaml": 18,
     "query/last_join_query.yaml": 7,
     "query/last_join_window_query.yaml": 3,
     "query/window_with_union_query.yaml": 2,
