@@ -1,21 +1,33 @@
-"""Minimal OpenMLDB-dialect SQL front-end for window queries.
+"""OpenMLDB-dialect SQL front-end.
 
-Covers the shape that dominates the reference's YAML case corpus
-(cases/function/window/*.yaml; grammar per
-docs/en/reference/sql/dql/WINDOW_CLAUSE.md):
+Exists so the reference's own golden YAML corpus (its cross-engine
+consistency mechanism, SURVEY.md §5.1 — 41 files / 465 passing cases)
+can drive this engine directly. Two complementary paths:
 
-    SELECT <item, ...> FROM {0}
-    WINDOW wN AS ([UNION {1},..] PARTITION BY {0}.k[, ...]
-                  ORDER BY {0}.ts
-                  ROWS|ROWS_RANGE BETWEEN <bound> AND <bound>
-                  [MAXSIZE n] [EXCLUDE CURRENT_TIME]
-                  [EXCLUDE CURRENT_ROW] [INSTANCE_NOT_IN_WINDOW])
+1. **Window / LAST JOIN runners** (``run_windowed_sql``,
+   ``run_lastjoin_sql``, ``run_join_window_sql``) parse the dialect's
+   non-standard core — WINDOW clauses with the OpenMLDB frame
+   extensions (ROWS_RANGE, MAXSIZE, EXCLUDE CURRENT_TIME/ROW, UNION
+   tables, INSTANCE_NOT_IN_WINDOW, inline anonymous windows), LAST JOIN
+   chains with ORDER BY / point-in-time bounds / θ-residuals, windowed
+   expressions with embedded aggregates, and the FeatureZero
+   window-split compositions — and execute them through ``window_agg``
+   / ``last_join`` (grammar: docs/en/reference/sql/dql/
+   WINDOW_CLAUSE.md, JOIN_CLAUSE.md).
+2. **General-SELECT transpiler** (``run_general_sql``) rewrites
+   everything else — scalar expressions, WHERE, GROUP BY / HAVING,
+   LIMIT, subqueries — to Spark SQL text (``rewrite_expr``: cast
+   function forms, scalar renames, fz_* families, CST-local date
+   parts, epoch-ms timestamp casts, array literals) plus cross-type
+   coercion wraps matching the reference's C++ runtime (string-vs-any
+   lexical compare, timestamp±int ms arithmetic, bool arithmetic
+   promotion, NOT-truthiness), then lets Catalyst run it (ANSI off:
+   cast-failure→NULL, integer wraparound — the reference's semantics).
 
-where items are plain column refs or ``fn(args) OVER w AS alias``.
-Everything else (expressions, subqueries, joins, HAVING, ...) is out of
-scope — ``translate`` raises ``UnsupportedSQL`` and the case runner
-counts it as a skip. This is NOT a general SQL engine; it exists so the
-reference's own golden cases can drive ``window_agg`` directly.
+Shapes outside both paths raise ``UnsupportedSQL`` and the case runner
+counts them as skips, mirroring the reference's own offline-unsupport
+tagging. The production API remains the typed Python surface
+(``window_agg``/``last_join``/...); this module is the SQL adapter.
 """
 
 from __future__ import annotations
