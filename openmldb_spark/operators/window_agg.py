@@ -1075,10 +1075,57 @@ def _kernel_exec(df: DataFrame, spec: WindowSpecFE, aggs: list[Agg],
     sel_cols = list(dict.fromkeys(
         passthrough + [_ORD, _SIDE, _EMIT] + group_keys +
         [c for c in spec.tiebreak] + list(cond_cols.values())))
+    # partition-level iteration with group-change detection — the
+    # reference's execution shape (WindowAggPlan.windowAggIter,
+    # WindowAggPlan.scala:501-558): ONE Arrow stream per partition, a
+    # plain Python call per key group. groupBy().applyInPandas pays a
+    # per-GROUP Arrow exchange, which dominates when keys are many and
+    # small (millions of conv_ids at corpus scale).
+    shuffle_n = int(allr.sparkSession.conf.get(
+        "spark.sql.shuffle.partitions", "200"))
     res = (allr.select(*sel_cols)
-               .groupBy(*group_keys)
-               .applyInPandas(kernel, schema=out_schema))
+               .repartition(shuffle_n, *group_keys)
+               .sortWithinPartitions(*group_keys, _ORD, _SIDE,
+                                     *spec.tiebreak)
+               .mapInPandas(_partition_runner(kernel, group_keys),
+                            schema=out_schema))
     return res
+
+
+def _partition_runner(kernel, group_keys: list[str]):
+    """Wrap a per-group kernel into a per-partition Arrow iterator:
+    batches are re-segmented on group-key changes (rows of one key are
+    contiguous after repartition+sortWithinPartitions); a group spanning
+    batch boundaries is buffered until its last row arrives — memory is
+    one group + one batch, the same bound applyInPandas has."""
+
+    def run(batches):
+        buf = None
+        for pdf in batches:
+            if buf is not None:
+                pdf = pd.concat([buf, pdf], ignore_index=True)
+                buf = None
+            if len(pdf) == 0:
+                continue
+            same = pd.Series(True, index=pdf.index)
+            for k in group_keys:
+                col = pdf[k]
+                prev = col.shift()
+                same &= col.eq(prev) | (col.isna() & prev.isna())
+            same.iloc[0] = False
+            gid = (~same).cumsum()
+            last_gid = gid.iloc[-1]
+            # hold the (possibly incomplete) trailing group
+            tail_mask = gid == last_gid
+            buf = pdf[tail_mask]
+            head = pdf[~tail_mask]
+            if len(head):
+                for _, grp in head.groupby(gid[~tail_mask], sort=False):
+                    yield kernel(grp.reset_index(drop=True))
+        if buf is not None and len(buf):
+            yield kernel(buf.reset_index(drop=True))
+
+    return run
 
 
 def _salt(allr: DataFrame, keys: list[str], skew: SkewConfig,
