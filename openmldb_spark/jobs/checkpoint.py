@@ -46,23 +46,67 @@ class Stage:
     inputs: Sequence[str] = field(default_factory=tuple)  # external paths
 
 
+def _hash_value(h, v, seen: set) -> None:
+    """Stable hash of one const / closure / default value. Code objects
+    and functions recurse structurally (bytecode + consts + names) —
+    their repr() embeds a memory address, which would make the
+    fingerprint differ across processes (resume never skips) yet
+    collide across edits when addresses happen to match (ADVICE r2 #3).
+    Containers recurse element-wise so nested lambdas inside tuples are
+    still reached."""
+    import types
+    if isinstance(v, types.CodeType):
+        if id(v) in seen:
+            return
+        seen.add(id(v))
+        h.update(b"<code>")
+        h.update(v.co_code)
+        h.update(repr(v.co_names).encode())
+        h.update(repr(v.co_varnames).encode())
+        for c in v.co_consts:
+            _hash_value(h, c, seen)
+    elif isinstance(v, types.FunctionType):
+        if id(v) in seen:
+            return
+        seen.add(id(v))
+        h.update(b"<fn>")
+        _hash_value(h, v.__code__, seen)
+        for cell in (v.__closure__ or ()):
+            try:
+                _hash_value(h, cell.cell_contents, seen)
+            except ValueError:              # pragma: no cover
+                h.update(b"<empty-cell>")
+        for d in (v.__defaults__ or ()):
+            _hash_value(h, d, seen)
+    elif isinstance(v, (tuple, list, frozenset)):
+        h.update(b"<seq>")
+        items = sorted(map(repr, v)) if isinstance(v, frozenset) else v
+        for x in items:
+            _hash_value(h, x, seen)
+    elif isinstance(v, dict):
+        h.update(b"<map>")
+        for k in sorted(v, key=repr):
+            _hash_value(h, k, seen)
+            _hash_value(h, v[k], seen)
+    else:
+        # strip memory addresses from reprs of arbitrary objects —
+        # identity still participates (type + visible fields) but the
+        # fingerprint no longer churns per process
+        import re as _re
+        h.update(_re.sub(r" at 0x[0-9a-fA-F]+", "", repr(v)).encode())
+
+
 def _code_fp(fn: Callable) -> str:
     """Content fingerprint of a stage function: bytecode + consts +
     referenced names + closure values + defaults — so editing the stage
-    body (or a captured parameter) invalidates its checkpoint."""
+    body (or a captured parameter) invalidates its checkpoint. Nested
+    code objects (inner defs, lambdas) and function-valued closures are
+    hashed structurally, never by repr, so the fingerprint is stable
+    across processes and sensitive to their edits."""
     h = hashlib.sha256()
     try:
-        code = fn.__code__
-        h.update(code.co_code)
-        h.update(repr(code.co_consts).encode())
-        h.update(repr(code.co_names).encode())
-        for cell in (fn.__closure__ or ()):
-            try:
-                h.update(repr(cell.cell_contents).encode())
-            except Exception:               # pragma: no cover
-                h.update(b"<cell>")
-        if fn.__defaults__:
-            h.update(repr(fn.__defaults__).encode())
+        fn.__code__
+        _hash_value(h, fn, set())
     except AttributeError:                  # non-plain callables
         try:
             import inspect

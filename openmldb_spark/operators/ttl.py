@@ -25,7 +25,7 @@ from openmldb_spark.functions.timeutil import to_ms
 
 
 def time_live(df: DataFrame, ts_col: str, ttl_ms: int,
-              now_ms: int | None = None, lazy: bool = False) -> DataFrame:
+              now_ms: int | None = None, lazy: bool = True) -> DataFrame:
     """kTTLTimeLive: keep rows with ts >= horizon.
 
     ``now_ms`` defaults to the max ts in the frame of reference of the
@@ -33,11 +33,15 @@ def time_live(df: DataFrame, ts_col: str, ttl_ms: int,
     backfill over historical data is reproducible); pass an explicit
     wall-clock ms for online-parity behavior.
 
-    Anchor evaluation: by default the max-ts anchor is one metadata-cheap
-    driver aggregate so the filter stays a LITERAL scan predicate
-    (partition-prunable). ``lazy=True`` instead broadcast-joins the 1-row
-    aggregate so the whole pipeline stays unevaluated until action time
-    (useful when composing plans that must not trigger driver jobs).
+    Anchor evaluation: by default (``lazy=True``) the max-ts anchor is
+    a 1-row aggregate broadcast-joined onto the scan, so the whole
+    pipeline stays unevaluated until action time — no driver job is
+    triggered just by *building* the plan (VERDICT r2 #7; the previous
+    eager default ran a collect() at plan-construction time).
+    ``lazy=False`` opts back into resolving the anchor eagerly so the
+    filter becomes a LITERAL scan predicate (partition-prunable on a
+    date-partitioned table — worth it when the scan is the dominant
+    cost and the extra driver job is not).
     """
     ord_ms = to_ms(df, ts_col)
     if now_ms is None:
@@ -80,12 +84,17 @@ def time_and_count_live(df: DataFrame, keys: str | Sequence[str],
         raise ValueError("combine must be 'and' or 'or'")
     keys_l = [keys] if isinstance(keys, str) else list(keys)
     ord_ms = to_ms(df, ts_col)
-    if now_ms is None:
-        mx = df.agg(F.max(ord_ms).alias("m")).collect()[0]["m"]
-        now_ms = int(mx) if mx is not None else 0
     w = Window.partitionBy(*keys_l).orderBy(
         ord_ms.desc(), *[F.col(c).desc() for c in tiebreak])
+    if now_ms is None:
+        # lazy anchor, same as time_live: no driver job at plan time
+        mx = df.agg(F.max(ord_ms).alias("__ttl_max"))
+        return (df.crossJoin(F.broadcast(mx))
+                .withColumn("__rn", F.row_number().over(w))
+                .filter((F.col("__rn") <= k)
+                        | (ord_ms >= F.col("__ttl_max") - F.lit(ttl_ms)))
+                .drop("__rn", "__ttl_max"))
     return (df.withColumn("__rn", F.row_number().over(w))
             .filter((F.col("__rn") <= k)
-                    | (ord_ms >= F.lit(now_ms - ttl_ms)))
+                    | (ord_ms >= F.lit(int(now_ms) - ttl_ms)))
             .drop("__rn"))

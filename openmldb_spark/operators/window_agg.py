@@ -608,7 +608,14 @@ def _make_kernel(spec: WindowSpecFE, aggs: list[Agg], out_cols: list[str],
                 v_raw = pd.Series(arr[col])
                 num = pd.to_numeric(v_raw, errors="coerce")
                 decode = None
-                if (num.isna() & v_raw.notna()).any():
+                # ordinal (lexicographic) comparison is selected by the
+                # DECLARED column type, not by coercion success: a
+                # STRING column whose values all parse numerically
+                # ('9','10') still compares lexically in the reference
+                # (min='10', type stays string) — ADVICE r2 #4
+                declared = src_types.get(name, "")
+                if declared in ("string", "date") \
+                        or (num.isna() & v_raw.notna()).any():
                     # non-numeric orderable values (dates / strings /
                     # timestamps): ordinal-encode against the sorted
                     # distinct set, min/max on codes, decode after
@@ -943,9 +950,27 @@ def multi_window_agg(df: DataFrame,
     # joining on (partition, order, tiebreak) silently multiplies rows
     # under duplicate key tuples (ADVICE r1 #5). The id also joins the
     # kernel tiebreak so the per-group sort is a total order.
+    #
+    # The id itself must be STABLE across the fan-out branches: the
+    # output branch and each kernel branch evaluate `base`
+    # independently, and monotonically_increasing_id over a recomputed
+    # nondeterministic lineage (any shuffle ancestor) can renumber rows
+    # between evaluations — a silently mispaired zip (ADVICE r2 #1). So
+    # the id is pinned by MATERIALIZING base once: a reliable
+    # checkpoint when the session has a checkpoint dir (survives
+    # executor loss), else localCheckpoint (executor loss fails the job
+    # loudly instead of corrupting it). The reference pins its
+    # concat-join id the same way — at the LCA, computed exactly once.
     rid = "__omls_rid"
-    base = df.withColumn(rid, F.monotonically_increasing_id()) \
-        if kernel else df
+    if kernel:
+        base = df.withColumn(rid, F.monotonically_increasing_id())
+        sc = df.sparkSession.sparkContext
+        if sc.getCheckpointDir() is not None:
+            base = base.checkpoint(eager=True)
+        else:
+            base = base.localCheckpoint(eager=True)
+    else:
+        base = df
 
     out = base
     if native:
@@ -1055,7 +1080,8 @@ def _kernel_exec(df: DataFrame, spec: WindowSpecFE, aggs: list[Agg],
         row_reach = (spec.start if spec.frame == "rows" else 0)
         row_reach = max(row_reach, lag_n) or None
         allr = _salt(allr, keys, skew, time_reach=time_reach,
-                     row_reach=row_reach)
+                     row_reach=row_reach,
+                     buffer_side_only=spec.instance_not_in_window)
         group_keys = keys + [_PART]
 
     passthrough = [c for c in df.columns]
@@ -1130,7 +1156,8 @@ def _partition_runner(kernel, group_keys: list[str]):
 
 def _salt(allr: DataFrame, keys: list[str], skew: SkewConfig,
           time_reach: int | None = None,
-          row_reach: int | None = None) -> DataFrame:
+          row_reach: int | None = None,
+          buffer_side_only: bool = False) -> DataFrame:
     """Two-level salting with FRAME-BOUNDED history replication
     (reference SkewDataFrameUtils.scala:26-143; genUnionDf replicates
     only the preceding blocks a part actually needs, :110-143).
@@ -1150,6 +1177,13 @@ def _salt(allr: DataFrame, keys: list[str], skew: SkewConfig,
     With both None the full history prefix replicates (pre-round-2
     behavior) — O(history) per hot key, the scale-killer VERDICT r1
     flagged; bounded replication is O(frame) per part.
+
+    ``buffer_side_only`` (INSTANCE_NOT_IN_WINDOW): primary rows are
+    never buffered into any frame, so only union rows (_SIDE != 1) can
+    serve a later part — primary rows never replicate, and the
+    ``row_reach`` newest-rows rank is counted over union rows only
+    (counting physical rows would under-replicate a part whose newest
+    physical rows are mostly primary — ADVICE r2 #2).
     """
     n = skew.parts
     qs = [i / n for i in range(1, n)]
@@ -1164,6 +1198,8 @@ def _salt(allr: DataFrame, keys: list[str], skew: SkewConfig,
                     lambda acc, q: acc + F.when(F.col(_ORD) > q, 1).otherwise(0)))
     tagged = tagged.withColumn(_PART, part)
     hot = tagged.filter(F.col("__qs").isNotNull())
+    if buffer_side_only:
+        hot = hot.filter(F.col(_SIDE) != 1)
     if row_reach is not None:
         w = Window.partitionBy(*keys, _PART).orderBy(F.col(_ORD).desc())
         hot = hot.withColumn("__rn", F.row_number().over(w))

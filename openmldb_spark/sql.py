@@ -527,6 +527,25 @@ def _xlate_expr(text: str, tm: dict[str, str]) -> str:
     return t
 
 
+_QUOTED_SPAN = re.compile(
+    r"'(?:\\.|''|[^'\\])*'|\"(?:\\.|\"\"|[^\"\\])*\"")
+
+
+def _outside_quotes(text: str, fn) -> str:
+    """Apply ``fn`` to the segments of ``text`` OUTSIDE string literals
+    (single/double quoted, backslash escapes and doubled quotes
+    honored). The coercion wrap passes are regex rewrites over raw SQL;
+    without this a literal containing a column name next to an operator
+    (``WHERE note = 'c1<c2'``) is corrupted in place (ADVICE r2 #5)."""
+    out, pos = [], 0
+    for m in _QUOTED_SPAN.finditer(text):
+        out.append(fn(text[pos:m.start()]))
+        out.append(m.group(0))
+        pos = m.end()
+    out.append(fn(text[pos:]))
+    return "".join(out)
+
+
 def _wrap_ts_plusminus(text: str, ts_cols: set[str]) -> str:
     """OpenMLDB ``timestamp +/- int`` yields a shifted TIMESTAMP (ms
     arithmetic); rewrite the simple binary forms so the result keeps the
@@ -549,7 +568,8 @@ def _wrap_ts_plusminus(text: str, ts_cols: set[str]) -> str:
         return (f"timestamp_millis({m.group(1)} {m.group(2)} "
                 f"unix_millis({m.group(3)}))")
 
-    return pat2.sub(s2, pat1.sub(s1, text))
+    return _outside_quotes(
+        text, lambda seg: pat2.sub(s2, pat1.sub(s1, seg)))
 
 
 def _wrap_narrow(c, spark_type: str):
@@ -1053,11 +1073,14 @@ def _wrap_arith_operands(sql_text: str, wrappers: dict[str, str]) -> str:
             return f"{wrap(m.group(1))}{m.group(2)}"
         return f"{m.group(3)}{wrap(m.group(4))}"
 
-    prev = None
-    while prev != sql_text:          # handle 'a % b' with both wrapped
-        prev = sql_text
-        sql_text = pat.sub(sub, sql_text)
-    return sql_text
+    def seg_fn(seg: str) -> str:
+        prev = None
+        while prev != seg:           # handle 'a % b' with both wrapped
+            prev = seg
+            seg = pat.sub(sub, seg)
+        return seg
+
+    return _outside_quotes(sql_text, seg_fn)
 
 
 _NUMERIC = {"smallint", "int", "bigint", "float", "double"}
@@ -1106,7 +1129,7 @@ def _wrap_compare_operands(sql_text: str, types: dict[str, str]) -> str:
             b = f"CAST({b} AS SMALLINT)"
         return f"{a}{op}{b}"
 
-    return pat.sub(sub, sql_text)
+    return _outside_quotes(sql_text, lambda seg: pat.sub(sub, seg))
 
 
 def _wrap_not_truthiness(sql_text: str, types: dict[str, str]) -> str:
@@ -1137,7 +1160,7 @@ def _wrap_not_truthiness(sql_text: str, types: dict[str, str]) -> str:
         ref = m.group(2)
         return f"{m.group(1)} {truthy(ref, nonbool[ref.split('.')[-1]])}"
 
-    return pat.sub(sub, sql_text)
+    return _outside_quotes(sql_text, lambda seg: pat.sub(sub, seg))
 
 
 def _type_map(schema) -> dict[str, str]:
