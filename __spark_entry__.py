@@ -215,6 +215,26 @@ def q_window_maxsize(spark, sf_dir):
                       _r4("sum_w").alias("sum_w"))
 
 
+def q_window_median(spark, sf_dir):
+    """Window-capable median (reference MedianDef UDAF,
+    default_udf_library.cc:2854): one concat-join query exercising BOTH
+    execution paths — the native exact-percentile column (ROWS frame)
+    and the kernel sliding-median column (maxsize forces the kernel)."""
+    from openmldb_spark import multi_window_agg
+    ev = _win_events(spark, sf_dir)
+    w_rows = WindowSpecFE(["user_id"], "ts", frame="rows", start=3, end=0,
+                          tiebreak=("event_id",))
+    w_cap = WindowSpecFE(["user_id"], "ts", frame="range", start=3_600_000,
+                         end=0, maxsize=5, tiebreak=("event_id",))
+    out = multi_window_agg(ev, [
+        (w_rows, [Agg("med_rows", "median", "value")]),
+        (w_cap, [Agg("med_cap", "median", "value")]),
+    ])
+    return out.select("event_id", "user_id",
+                      _r4("med_rows").alias("med_rows"),
+                      _r4("med_cap").alias("med_cap"))
+
+
 def q_window_exclude_current_row(spark, sf_dir):
     spec = WindowSpecFE(["user_id"], "ts", frame="range", start=3_600_000,
                         end=0, exclude_current_row=True,
@@ -560,6 +580,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_rows_between": q_window_rows_between,
         "window_open_range": q_window_open_range,
         "window_maxsize": q_window_maxsize,
+        "window_median": q_window_median,
         "window_exclude_current_row": q_window_exclude_current_row,
         "window_exclude_current_time": q_window_exclude_current_time,
         "window_union": q_window_union,
@@ -918,6 +939,20 @@ SELECT e.event_id, e.user_id,
             AND epoch_ms(e2.ts) >= epoch_ms(e.ts) - 3600000
             AND {_LATERAL_VIS}
           ORDER BY epoch_ms(e2.ts) DESC, e2.event_id DESC LIMIT 5)) AS sum_w
+FROM events e
+""",
+        "window_median": f"""
+SELECT e.event_id, e.user_id,
+       ROUND(median(e.value) OVER (
+           PARTITION BY e.user_id ORDER BY epoch_ms(e.ts), e.event_id
+           ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) + 0.000001, 4)
+         AS med_rows,
+       (SELECT ROUND(median(v) + 0.000001, 4) FROM (
+          SELECT e2.value AS v FROM events e2
+          WHERE e2.user_id = e.user_id
+            AND epoch_ms(e2.ts) >= epoch_ms(e.ts) - 3600000
+            AND {_LATERAL_VIS}
+          ORDER BY epoch_ms(e2.ts) DESC, e2.event_id DESC LIMIT 5)) AS med_cap
 FROM events e
 """,
         "window_exclude_current_row": f"""

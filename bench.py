@@ -59,19 +59,27 @@ def main():
 
     # steady-state measurement: first run pays one-time plan analysis +
     # whole-stage-codegen JIT (~5-20s per distinct plan shape, independent
-    # of data volume); then the MIN of two timed runs is kept — this
-    # sandbox host shows 2x run-to-run noise from co-tenants, and min-of-k
-    # is the standard noisy-host estimator of the true cost
-    times: dict[str, float] = {}
-    for name in names:
+    # of data volume). Then k>=3 timed rounds, INTERLEAVED round-robin
+    # across queries so a co-tenant noise window (this host shows 1.3-3x
+    # bursts, BENCH_SCALING.json) cannot poison all samples of one query.
+    # Every sample is recorded; the point estimate is the MIN (standard
+    # noisy-host estimator); a query whose sample spread exceeds 1.5x is
+    # flagged noisy so round-over-round comparison can discount it
+    # (VERDICT r2 #2: r2's min-of-2 recorded a bogus 15x outlier).
+    rounds = int(os.environ.get("SPARK_GRAFT_BENCH_ROUNDS", "3"))
+    samples: dict[str, list[float]] = {n: [] for n in names}
+    for name in names:                      # warmup, un-timed
         force(qs[name](spark, sf_dir))
-        best = float("inf")
-        for _ in range(2):
+        spark.catalog.clearCache()          # minhash persists signatures
+    for _ in range(rounds):
+        for name in names:
             t0 = time.time()
             force(qs[name](spark, sf_dir))
-            best = min(best, time.time() - t0)
-        times[name] = round(best, 3)
-        spark.catalog.clearCache()   # minhash persists signatures
+            samples[name].append(round(time.time() - t0, 3))
+            spark.catalog.clearCache()
+    times = {n: min(s) for n, s in samples.items()}
+    noisy = sorted(n for n, s in samples.items()
+                   if min(s) > 0 and max(s) / min(s) > 1.5)
 
     total = round(sum(times.values()), 3)
     # throughput: per-event feature queries processed events/sec
@@ -86,6 +94,8 @@ def main():
         "value": total,
         "unit": "sec",
         "queries": times,
+        "samples": samples,
+        "noisy_queries": noisy,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "throughput_turns_per_sec": thr,
         "cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"),

