@@ -567,6 +567,21 @@ def q_media_features(spark, sf_dir):
 # registry
 
 
+def q_table_udaf_sql(spark, sf_dir):
+    """Table-level ``*_cate`` / ``top_n_*_cate_where`` through the SQL
+    surface: grouped-agg pandas UDFs + Catalyst CASE rewrites
+    (openmldb_spark/functions/sql_udafs.py; reference
+    hybridse/src/udf/default_defs/agg_by_category_def.cc)."""
+    from openmldb_spark.sql import run_general_sql
+    ev = _t(spark, sf_dir, "events")
+    sql = ("select user_id, "
+           "count_cate(value, event_type) as cnt_cate, "
+           "avg_cate(value, event_type) as avgc, "
+           "top_n_key_sum_cate_where(value, value > 0.5, event_type, 2) "
+           "as top2_sum from {0} group by user_id")
+    return run_general_sql(spark, sql, [ev])
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -575,6 +590,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top1_ratio": q_top1_ratio,
         "count_cate": q_count_cate,
         "sum_cate": q_sum_cate,
+        "table_udaf_sql": q_table_udaf_sql,
         "window_rows": q_window_rows,
         "window_range": q_window_range,
         "window_rows_between": q_window_rows_between,
@@ -854,6 +870,34 @@ SELECT event_type,
        ROUND(max(CASE WHEN value > 50 THEN value END) + 0.000001, 4) AS max_hi,
        ROUND(quantile_cont(value, 0.5) + 0.000001, 4) AS median_v
 FROM events GROUP BY event_type
+""",
+        "table_udaf_sql": """
+WITH per AS (
+  SELECT user_id, event_type AS k, count(value) AS cnt, avg(value) AS av
+  FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2),
+base AS (
+  SELECT user_id,
+         string_agg(k || ':' || CAST(cnt AS VARCHAR), ',' ORDER BY k)
+           AS cnt_cate,
+         string_agg(k || ':' || printf('%.6f', av), ',' ORDER BY k)
+           AS avgc
+  FROM per GROUP BY user_id),
+pw AS (
+  SELECT user_id, event_type AS k,
+         sum(CASE WHEN value > 0.5 THEN value END) AS sw
+  FROM events
+  WHERE event_type IS NOT NULL AND value > 0.5 GROUP BY 1, 2),
+ranked AS (
+  SELECT user_id, k, sw,
+         row_number() OVER (PARTITION BY user_id ORDER BY k DESC) AS rn
+  FROM pw),
+tk AS (
+  SELECT user_id,
+         string_agg(k || ':' || printf('%.6f', sw), ',' ORDER BY k DESC)
+           AS top2_sum
+  FROM ranked WHERE rn <= 2 GROUP BY user_id)
+SELECT base.user_id, base.cnt_cate, base.avgc, tk.top2_sum
+FROM base LEFT JOIN tk USING (user_id)
 """,
         "topn_frequency": """
 SELECT user_id, string_agg(event_type, ',' ORDER BY rn) AS top2_types

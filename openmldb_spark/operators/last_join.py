@@ -167,7 +167,15 @@ def _join_rank(left: DataFrame, right: DataFrame, keys: list[str],
         r = F.broadcast(r)
     cond = None
     for k in keys:
-        c = l[k] == r[k]
+        # NULL keys match NULL keys in the reference's LAST JOIN (the
+        # storage index encodes NULL as a regular key byte): goldens
+        # fz_ddl/test_luoji.yaml (reqId NULL row joins action's NULL
+        # row) and test_lastjoin_complex.yaml#10 (NULL c3 chain key).
+        # The sort_merge strategy gets this for free from
+        # Window.partitionBy; eqNullSafe keeps join_rank consistent —
+        # Spark still plans it as an equi-join key (SortMergeJoin on
+        # EqualNullSafe), not a cartesian.
+        c = l[k].eqNullSafe(r[k])
         cond = c if cond is None else (cond & c)
     if pit:
         c = r[right_ts] <= l[left_ts]

@@ -396,9 +396,17 @@ def _cate_fmt_for(src_type: str | None):
 def _make_kernel(spec: WindowSpecFE, aggs: list[Agg], out_cols: list[str],
                  passthrough: list[str], dtypes: dict[str, str],
                  cond_cols: dict[str, str],
-                 src_types: dict[str, str] | None = None):
+                 src_types: dict[str, str] | None = None,
+                 presorted: bool = False):
     """Build the applyInPandas kernel. Everything the kernel needs is
-    captured by value (plain python objects) — no Spark objects."""
+    captured by value (plain python objects) — no Spark objects.
+
+    ``presorted=True`` skips the per-group mergesort: the partition
+    runner feeds groups already ordered by
+    ``sortWithinPartitions(*group_keys, _ORD, _SIDE, *tiebreak)`` —
+    exactly the kernel's sort key — and the per-group ``sort_values``
+    was the single largest constant-factor cost at many-small-groups
+    scale (profiled: 2.3s of a 4.3s 1500-group run, VERDICT r2 #9)."""
     frame = spec.frame
     start, end = int(spec.start), int(spec.end)
     open_start = spec.open_start
@@ -416,8 +424,9 @@ def _make_kernel(spec: WindowSpecFE, aggs: list[Agg], out_cols: list[str],
     src_types = src_types or {}
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values([_ORD, _SIDE] + tiebreak,
-                              kind="mergesort").reset_index(drop=True)
+        if not presorted:
+            pdf = pdf.sort_values([_ORD, _SIDE] + tiebreak,
+                                  kind="mergesort").reset_index(drop=True)
         m = len(pdf)
         ts = pdf[_ORD].to_numpy(np.int64)
         side = pdf[_SIDE].to_numpy(np.int64)
@@ -796,29 +805,39 @@ def _make_kernel(spec: WindowSpecFE, aggs: list[Agg], out_cols: list[str],
                 res_l[i] = state.result(i if self_add else None)
             out[name] = res_l
 
-        res_pdf = pdf.loc[emit, passthrough].reset_index(drop=True)
+        # assemble once: repeated res_pdf[name] = ... inserts pay a
+        # BlockManager reindex per agg column, and the boolean .loc mask
+        # copies the whole frame even when every row emits — both
+        # dominated small-group partitions (profiled, VERDICT r2 #9)
+        all_emit = bool(emit.all())
+        base = (pdf[passthrough] if all_emit
+                else pdf.loc[emit, passthrough].reset_index(drop=True))
+        res_cols: dict[str, object] = {}
         for (name, fn, col, cond, nn, cate) in agg_specs:
             v = out[name]
             v = np.asarray(v, dtype=object) if isinstance(v, list) else v
-            vv = v[emit]
+            vv = v if all_emit else v[emit]
             want = dtypes[name]
             if want in ("bigint", "int", "smallint"):
-                res_pdf[name] = pd.Series(vv, dtype="Float64").astype("Int64")
+                res_cols[name] = pd.Series(vv, dtype="Float64") \
+                    .astype("Int64")
             elif want.startswith("timestamp"):
                 ser = pd.Series(vv)
                 if not np.issubdtype(ser.dtype, np.datetime64):
                     ser = pd.to_datetime(
                         pd.to_numeric(ser, errors="coerce"), unit="ms")
-                res_pdf[name] = ser
+                res_cols[name] = ser
             elif want in ("double", "float"):
                 # nullable Float64 so empty-frame NaN crosses Arrow as NULL
                 # (SQL semantics: SUM/AVG/MIN/MAX over empty frame = NULL)
-                res_pdf[name] = pd.array(
+                res_cols[name] = pd.Series(pd.array(
                     pd.to_numeric(pd.Series(vv), errors="coerce"),
-                    dtype="Float64")
+                    dtype="Float64"))
             else:
-                res_pdf[name] = pd.Series(vv, dtype=object)
-        return res_pdf
+                res_cols[name] = pd.Series(vv, dtype=object)
+        agg_pdf = pd.DataFrame(res_cols)
+        agg_pdf.index = base.index
+        return pd.concat([base, agg_pdf], axis=1)
 
     return kernel
 
@@ -1365,7 +1384,8 @@ def _kernel_exec(df: DataFrame, spec: WindowSpecFE, aggs: list[Agg],
                       for a in aggs
                       if a.cate and a.cate in in_schema.names})
     kernel = _make_kernel(spec, aggs, [a.name for a in aggs], passthrough,
-                          dtypes, cond_cols, src_types)
+                          dtypes, cond_cols, src_types,
+                          presorted=True)
     sel_cols = list(dict.fromkeys(
         passthrough + [_ORD, _SIDE, _EMIT] + group_keys +
         [c for c in spec.tiebreak] + list(cond_cols.values())))
@@ -1417,25 +1437,28 @@ def _partition_runner(kernel, group_keys: list[str],
                 buf = None
             if len(pdf) == 0:
                 continue
-            same = pd.Series(True, index=pdf.index)
+            # group boundaries via numpy (pandas groupby paid ~1ms of
+            # frame-machinery per group — dominant with many small keys)
+            m = len(pdf)
+            change = np.zeros(m, dtype=bool)
+            change[0] = True
             for k in group_keys:
-                col = pdf[k]
-                prev = col.shift()
-                same &= col.eq(prev) | (col.isna() & prev.isna())
-            same.iloc[0] = False
-            gid = (~same).cumsum()
-            last_gid = gid.iloc[-1]
+                a = pdf[k].to_numpy()
+                cur, prev = a[1:], a[:-1]
+                with np.errstate(invalid="ignore"):
+                    eq = cur == prev
+                eq = np.asarray(eq, dtype=bool) | (pd.isna(cur)
+                                                   & pd.isna(prev))
+                change[1:] |= ~eq
+            starts = np.flatnonzero(change)
             # hold the (possibly incomplete) trailing group
-            tail_mask = gid == last_gid
-            buf = pdf[tail_mask]
-            head = pdf[~tail_mask]
-            if len(head):
-                for _, grp in head.groupby(gid[~tail_mask], sort=False):
-                    r = kernel(grp.reset_index(drop=True))
-                    out.append(r)
-                    n_out += len(r)
-                    if n_out >= out_batch_rows:
-                        yield from flush()
+            buf = pdf.iloc[starts[-1]:]
+            for si, sj in zip(starts[:-1], starts[1:]):
+                r = kernel(pdf.iloc[si:sj].reset_index(drop=True))
+                out.append(r)
+                n_out += len(r)
+                if n_out >= out_batch_rows:
+                    yield from flush()
         if buf is not None and len(buf):
             r = kernel(buf.reset_index(drop=True))
             out.append(r)
