@@ -959,8 +959,23 @@ def run_lastjoin_sql(sql: str, tables: list[DataFrame]) -> DataFrame:
             bare_map = {c: f"__t{ti}_{c}" for c in right_bare}
             parts_c = []
             for rc_ in residuals:
+                # normalize backquoted dotted refs ({4}.`dt` -> {4}.dt)
+                # FIRST: the tokenizer's dotted-skip sees the backquote,
+                # not the dot, and would re-map the column to its
+                # prefixed name twice (spark/test_jd.yaml residual)
+                rc_ = re.sub(r"\.\s*`(\w+)`", r".\1", rc_)
                 rc_ = rewrite_expr(rc_, bare_map)
-                rc_ = re.sub(r"\{(\d+)\}\.`?(\w+)`?", fix_ref, rc_)
+                rc_ = re.sub(r"\{(\d+)\}\.(\w+)", fix_ref, rc_)
+                # reference ts +/- int is millisecond arithmetic
+                # (spark/test_jd.yaml residual: dt < date - 0)
+                ts_cols = {f.name for f in acc.schema.fields
+                           if f.dataType.simpleString()
+                           .startswith("timestamp")}
+                ts_cols |= {f"__t{ti}_{f.name}"
+                            for f in tables[ti].schema.fields
+                            if f.dataType.simpleString()
+                            .startswith("timestamp")}
+                rc_ = _wrap_ts_plusminus(rc_, ts_cols)
                 parts_c.append(f"({rc_})")
             extra = F.expr(" AND ".join(parts_c))
         acc = last_join(acc, right2, on=keys, order_by=order_by,
@@ -1049,6 +1064,7 @@ def run_join_window_sql(sql: str, tables: list[DataFrame]) -> DataFrame:
 
     conds_text = _strip_outer_parens(m.group(3).strip())
     keys, left_ts, right_ts = [], None, None
+    ren: dict[str, str] = {}     # right-col renames from key alignment
     for cond in _split_conjuncts(conds_text):
         cond = cond.strip().strip("()").strip()
         mc = re.match(r"^(\S+)\s*(<=|>=|=|==)\s*(\S+)$", cond)
@@ -1063,9 +1079,14 @@ def run_join_window_sql(sql: str, tables: list[DataFrame]) -> DataFrame:
         if op in ("=", "=="):
             if lt == rt:
                 raise UnsupportedSQL(f"equi cond {cond!r}")
+            if rt == 0:              # {1}.k = {0}.k written right-first
+                lt, lc, rt, rc = rt, rc, lt, lc
             if lc != rc:
-                # differing names: align by renaming the right key
+                # differing names: align by renaming the right key; later
+                # refs to the right name (ORDER BY {1}.timecol,
+                # test_batch_request.yaml#2) resolve through `ren`
                 right = right.withColumnRenamed(rc, lc)
+                ren[rc] = lc
             keys.append(lc)
         else:
             if lt == 1 and rt == 0:
@@ -1082,6 +1103,11 @@ def run_join_window_sql(sql: str, tables: list[DataFrame]) -> DataFrame:
     if _RID in right2.columns:
         right2 = right2.withColumnRenamed(_RID, "__r_rid")
     jorder = _strip_table(m.group(2)) if m.group(2) else "__r_rid"
+    jorder = ren.get(jorder, jorder)
+    if jorder in keys:
+        # ordering by the (renamed) equi key: order on its __rk_ copy
+        # (the bare key column is consumed by the join itself)
+        jorder = f"__rk_{jorder}"
     joined = last_join(left, right2, on=keys, order_by=jorder,
                        left_ts=left_ts, right_ts=right_ts,
                        strategy="join_rank", tiebreak="__r_rid")
@@ -1090,6 +1116,7 @@ def run_join_window_sql(sql: str, tables: list[DataFrame]) -> DataFrame:
         ti, col = _tbl_col(ref)
         if ti == 0:
             return col
+        col = ren.get(col, col)
         if col in keys:
             return f"__rk_{col}"
         return col + "_r" if col in left.columns else col
@@ -2054,12 +2081,24 @@ def _parse_lastjoin_chain(from_text: str, tables: list[DataFrame]):
             bare_map = {c: f"__t{ti}_{c}" for c in right_bare}
             parts_c = []
             for rc_ in residuals:
-                # bare-ref mapping FIRST (the tokenizer skips dotted
-                # refs), then qualified-ref resolution — the reverse
-                # order would re-map a resolved left ref that shares its
-                # name with a right column
+                # normalize backquoted dotted refs so the tokenizer's
+                # dotted-skip applies, then bare-ref mapping FIRST (the
+                # tokenizer skips dotted refs), then qualified-ref
+                # resolution — the reverse order would re-map a resolved
+                # left ref that shares its name with a right column
+                rc_ = re.sub(r"\.\s*`(\w+)`", r".\1", rc_)
                 rc_ = rewrite_expr(rc_, bare_map)
                 rc_ = re.sub(r"\{(\d+)\}\.(\w+)", fix_ref, rc_)
+                # reference ts +/- int is millisecond arithmetic
+                # (spark/test_jd.yaml residual: dt < date - 0)
+                ts_cols = {f.name for f in acc.schema.fields
+                           if f.dataType.simpleString()
+                           .startswith("timestamp")}
+                ts_cols |= {f"__t{ti}_{f.name}"
+                            for f in tables[ti].schema.fields
+                            if f.dataType.simpleString()
+                            .startswith("timestamp")}
+                rc_ = _wrap_ts_plusminus(rc_, ts_cols)
                 parts_c.append(f"({rc_})")
             extra = F.expr(" AND ".join(parts_c))
         acc = last_join(acc, right2, on=keys, order_by=order_by,

@@ -137,6 +137,11 @@ FILES = {
     "function/spark/test_ads.yaml": 1,
     "function/spark/test_credit.yaml": 1,
     "function/spark/test_fqz_studio.yaml": 1,
+    # θ-residual LAST JOIN chain + ts-arith residual (dt < date - 0)
+    "function/spark/test_jd.yaml": 1,
+    # request-mode conformance: per-request evaluation with storage
+    # history (incl. common_column_indices shapes, order-by-equi-key)
+    "function/test_batch_request.yaml": 9,
 }
 
 _TYPES = {
