@@ -588,6 +588,11 @@ def _parse_item(item: str) -> _Item:
             return _Item(alias=alias0 or col, col=col)
         except UnsupportedSQL:
             pass
+    if it == "*" and not alias0:
+        # star select: expanded to the primary's columns by
+        # run_windowed_sql (subquery operands in multiple_databases#9
+        # and lifted `select * from t` FROM-sources)
+        return _Item(alias="*", col="*")
     # scalar expression item (evaluated on the primary relation)
     if not alias0:
         raise UnsupportedSQL(f"expression item without alias: {item!r}")
@@ -642,6 +647,9 @@ def run_windowed_sql(sql: str, tables: list[DataFrame]) -> DataFrame:
     prim = tables[0]
     if _RID not in prim.columns:
         raise UnsupportedSQL("primary table must carry __case_rid")
+    items = [x for it in items for x in
+             ([_Item(alias=c, col=c) for c in prim.columns if c != _RID]
+              if it.col == "*" else [it])]
     if not wins:
         # full-table aggregate (select count(c2) ... with no WINDOW /
         # OVER): this runner would emit a per-row select whose Aggregate

@@ -142,6 +142,9 @@ FILES = {
     # request-mode conformance: per-request evaluation with storage
     # history (incl. common_column_indices shapes, order-by-equi-key)
     "function/test_batch_request.yaml": 9,
+    # cross-database name resolution (db-qualified tables/aliases;
+    # bare refs resolve against the case-default db only)
+    "function/multiple_databases/test_multiple_databases.yaml": 15,
 }
 
 _TYPES = {
@@ -431,6 +434,53 @@ def _run_case(spark, case) -> str:
             else:
                 return "skip: no golden rows"
     inputs = case.get("inputs") or []
+    if inputs and any(i.get("db") for i in inputs):
+        # db-qualified refs (multiple_databases): `db1.{0}.c1` / a
+        # db-qualified declared NAME (`db2.t1`) resolve to `{i}` when
+        # the declared db matches; the case-default db qualifying a
+        # subquery alias (`db.t1.c1`) strips to the alias; a ref to a
+        # db no input declares stays unresolved so the runner rejects
+        # it (case #2: success=false when db2 does not exist); an
+        # UNQUALIFIED `{i}` ref to a non-default-db table is
+        # unresolvable in the reference (case #3)
+        import re as _re
+        sql2 = case["sql"]
+        case_db = case.get("db")
+        # detect on the ORIGINAL text: a bare (un-dotted) ref to a
+        # table whose db differs from the case-default db
+        unresolved = False
+        for ti, inp in enumerate(inputs):
+            idb = inp.get("db")
+            if not (idb and case_db and idb != case_db):
+                continue
+            if _re.search(rf"(?<!\.)\{{{ti}}}", sql2):
+                unresolved = True
+            nm = inp.get("name")
+            if nm and _re.search(rf"(?<![.\w]){_re.escape(str(nm))}\b",
+                                 sql2):
+                unresolved = True
+        if unresolved:
+            # the reference resolves bare table refs against the
+            # case-default db only
+            return "pass" if is_err \
+                else "skip: unqualified cross-db table ref"
+        for ti, inp in enumerate(inputs):
+            if inp.get("db") and inp.get("name"):
+                sql2 = _re.sub(
+                    rf"\b{_re.escape(inp['db'])}\s*\.\s*"
+                    rf"{_re.escape(str(inp['name']))}\b",
+                    f"{{{ti}}}", sql2)
+
+        def _dbref(mm):
+            db, ti = mm.group(1), int(mm.group(2))
+            if ti < len(inputs) and inputs[ti].get("db") == db:
+                return f"{{{ti}}}"
+            return mm.group(0)
+        sql2 = _re.sub(r"\b(\w+)\.\{(\d+)\}", _dbref, sql2)
+        if case_db:
+            sql2 = _re.sub(rf"\b{_re.escape(case_db)}\.(\w+\s*\.)",
+                           r"\1", sql2)
+        case = {**case, "sql": sql2}
     try:
         tables = [_build_df(spark, inp, with_rid=True) for inp in inputs]
         names = [inp.get("name") for inp in inputs]
