@@ -213,3 +213,77 @@ def test_time_and_count_live_default_no_driver_job(spark, monkeypatch):
                               now_ms=1_700_000_000_000 + 19 * 60_000) \
         .toPandas()
     assert sorted(out.i) == sorted(exp.i)
+
+
+# ------------------------------------------------- 7. NULL-safe LAST JOIN
+
+def test_last_join_null_keys_match(spark):
+    """Reference LAST JOIN matches NULL keys to NULL keys (the storage
+    index encodes NULL as a regular key byte): goldens
+    fz_ddl/test_luoji.yaml (NULL reqId row joins the NULL action row)
+    and test_lastjoin_complex.yaml#10. Both strategies must agree."""
+    from openmldb_spark import last_join
+
+    l = spark.createDataFrame(
+        [(None, 1000, 1), ("a", 1000, 2)], "k: string, ts: long, i: int")
+    r = spark.createDataFrame(
+        [(None, 900, 77), ("a", 900, 88)], "k: string, ts: long, v: int")
+    jr = last_join(l, r, on="k", order_by="ts", left_ts="ts",
+                   right_ts="ts", strategy="join_rank") \
+        .toPandas().set_index("i")
+    sm = last_join(l, r, on="k", order_by="ts", left_ts="ts",
+                   right_ts="ts", strategy="sort_merge") \
+        .toPandas().set_index("i")
+    assert jr.loc[1, "v"] == 77 and jr.loc[2, "v"] == 88
+    assert sm.loc[1, "v"] == 77 and sm.loc[2, "v"] == 88
+
+
+# --------------------------- 8. INSTANCE_NOT_IN_WINDOW empty-frame SUM NULL
+
+def test_inw_empty_union_sum_is_null(spark):
+    """Under INSTANCE_NOT_IN_WINDOW an empty union frame sums to NULL
+    (fz_ddl/test_myhug.yaml#1 golden) — the plain between-preceding
+    union quirk (empty frame sums to 0, test_window.yaml#31) must NOT
+    fire when the instance row is excluded from the buffer."""
+    from openmldb_spark.sql import run_windowed_sql
+
+    prim = spark.createDataFrame(
+        [("A", 1_000_000, 0.0, 0), ("B", 1_000_000, 0.0, 1)],
+        "k string, ts bigint, v double, __case_rid bigint")
+    uni = spark.createDataFrame(
+        [("B", 900_000, 100.0, 0)],
+        "k string, ts bigint, v double, __case_rid bigint")
+    sql = ("select k, sum(v) over w as s, max(v) over w as mx from {0} "
+           "window w as (UNION {1} partition by k order by ts "
+           "rows_range between 172801000 preceding and 1000 preceding "
+           "INSTANCE_NOT_IN_WINDOW)")
+    got = run_windowed_sql(sql, [prim, uni]).toPandas() \
+        .set_index("k")
+    assert pd.isna(got.loc["A", "s"]) and pd.isna(got.loc["A", "mx"])
+    assert got.loc["B", "s"] == 100.0 and got.loc["B", "mx"] == 100.0
+
+
+# ----------------------------- 9. θ-residual with backquotes + ts arithmetic
+
+def test_lastjoin_residual_backquoted_ts_arith(spark):
+    """spark/test_jd.yaml residual shape: strict bounds over a
+    backquoted dotted ref with timestamp-minus-int millisecond
+    arithmetic (`t.dt` < date - 0 AND `t.dt` > date - 1209600000)."""
+    import datetime
+    from openmldb_spark.sql import run_lastjoin_sql
+
+    d = datetime.datetime
+    left = spark.createDataFrame(
+        [(1, "s1", d(2020, 1, 20), 0)],
+        "id int, sku string, date timestamp, __case_rid bigint")
+    right = spark.createDataFrame(
+        [("s1", d(2020, 1, 19), 10, 0),    # inside (date-14d, date)
+         ("s1", d(2020, 1, 1), 20, 1),     # too old
+         ("s1", d(2020, 1, 20), 30, 2)],   # == date: excluded (strict <)
+        "sku string, dt timestamp, v int, __case_rid bigint")
+    sql = ("select {0}.id as id, {1}.v as v from {0} last join {1} "
+           "order by {1}.`dt` on {0}.sku = {1}.sku and "
+           "{1}.`dt` < {0}.date - 0 and "
+           "{1}.`dt` > {0}.date - 1209600000")
+    got = run_lastjoin_sql(sql, [left, right]).toPandas()
+    assert got.v.tolist() == [10]
