@@ -355,6 +355,30 @@ def q_long_window(spark, sf_dir):
                       _r4("avg_7d").alias("avg_7d"))
 
 
+def q_long_window_preagg(spark, sf_dir):
+    """Materialized pre-agg backfill: per-(key, day-bucket) partials +
+    raw edge rows merged per probe row (reference aggregator.h bucket
+    table + runner.cc:2967-3108 merge). Probe = deterministic quarter
+    of events; cost scales with probe size, not history size."""
+    from openmldb_spark.operators.long_window import (
+        long_window_preagg, long_window_agg_backfill)
+    ev = _t(spark, sf_dir, "events")
+    W, B = 7 * 24 * 3_600_000, 24 * 3_600_000
+    partials = long_window_preagg(ev, ["user_id"], "ts", B, ["value"])
+    probe = ev.filter(F.col("event_id") % 4 == 0)
+    out = long_window_agg_backfill(
+        probe, partials, ev, ["user_id"], "ts", W, B,
+        [Agg("cnt_7d", "count", "value"), Agg("sum_7d", "sum", "value"),
+         Agg("avg_7d", "avg", "value"), Agg("min_7d", "min", "value"),
+         Agg("max_7d", "max", "value")],
+        probe_id="event_id")
+    return out.select("event_id", "user_id", "cnt_7d",
+                      _r4("sum_7d").alias("sum_7d"),
+                      _r4("avg_7d").alias("avg_7d"),
+                      _r4("min_7d").alias("min_7d"),
+                      _r4("max_7d").alias("max_7d"))
+
+
 # ---------------------------------------------------------------------------
 # joins
 
@@ -607,6 +631,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ordered_limit": q_ordered_limit,
         "multi_window": q_multi_window,
         "long_window": q_long_window,
+        "long_window_preagg": q_long_window_preagg,
         "last_join_asof": q_last_join_asof,
         "last_join_broadcast": q_last_join_broadcast,
         "left_join": q_left_join,
@@ -1095,6 +1120,19 @@ SELECT event_id, user_id,
 FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts)
              RANGE BETWEEN 604800000 PRECEDING AND CURRENT ROW)
+""",
+        "long_window_preagg": """
+SELECT * FROM (
+  SELECT event_id, user_id,
+         count(value) OVER w AS cnt_7d,
+         ROUND(sum(value) OVER w + 0.000001, 4) AS sum_7d,
+         ROUND(avg(value) OVER w + 0.000001, 4) AS avg_7d,
+         ROUND(min(value) OVER w + 0.000001, 4) AS min_7d,
+         ROUND(max(value) OVER w + 0.000001, 4) AS max_7d
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts)
+               RANGE BETWEEN 604800000 PRECEDING AND CURRENT ROW))
+WHERE event_id % 4 = 0
 """,
         "last_join_asof": """
 SELECT e.event_id, e.user_id, epoch_ms(e.ts) AS ts_ms,

@@ -101,3 +101,161 @@ def _running_difference(df: DataFrame, keys: list[str], order_by: str,
             cols.append(F.when(n_in > 0, (s_now - s_bef) / n_in)
                         .alias(a.name))
     return d.select(*cols)
+
+
+# --------------------------------------------------------------------------
+# Materialized pre-aggregation (the reference's maintained bucket table)
+# --------------------------------------------------------------------------
+
+_PREAGG_FNS = {"sum", "count", "avg", "min", "max"}
+
+
+def long_window_preagg(df: DataFrame, partition_by: Sequence[str],
+                       order_by: str, bucket_ms: int,
+                       value_cols: Sequence[str]) -> DataFrame:
+    """Materialize per-(key, bucket) partials for ``value_cols`` —
+    the Spark form of the reference's maintained pre-agg table
+    (src/storage/aggregator.h:121-300: one row per key per time bucket
+    holding the bucket's partial aggregate).
+
+    Returns one row per (partition keys, ``__lw_bucket``) with columns
+    ``__lw_{col}_{sum,cnt,min,max}``. Persist it with
+    ``.write.partitionBy(*keys)`` (or bucketBy) so repeated backfills
+    prune to the touched keys; the table is ~rows/bucket_width smaller
+    than the raw history, which is the whole point — a backfill of a few
+    new rows reads partials + two raw edge buckets instead of the full
+    window of history."""
+    keys = list(partition_by)
+    d = (df.filter(F.col(order_by).isNotNull())
+           .withColumn("__lw_ord", to_ms(df, order_by))
+           .withColumn("__lw_bucket",
+                       F.floor(F.col("__lw_ord") / F.lit(bucket_ms))))
+    aggs = []
+    for c in value_cols:
+        aggs += [F.sum(c).alias(f"__lw_{c}_sum"),
+                 F.count(c).alias(f"__lw_{c}_cnt"),
+                 F.min(c).alias(f"__lw_{c}_min"),
+                 F.max(c).alias(f"__lw_{c}_max")]
+    return d.groupBy(*keys, "__lw_bucket").agg(*aggs)
+
+
+def long_window_agg_backfill(probe: DataFrame, partials: DataFrame,
+                             raw: DataFrame,
+                             partition_by: Sequence[str], order_by: str,
+                             window_ms: int, bucket_ms: int,
+                             aggs: Sequence[Agg],
+                             probe_id: str | None = None) -> DataFrame:
+    """Per-probe-row aggregates over ``[t - window_ms, t]`` merged from
+    FULL bucket partials plus RAW rows of the two edge buckets — the
+    reference's runtime long-window merge (hybridse/src/vm/runner.cc:
+    2967-3108: full buckets from the pre-agg table, edge rows from the
+    base table).
+
+    Cost model (the reason this exists): a backfill of P new rows costs
+    O(P x window/bucket) partial-bucket merges + O(P x rows-per-bucket)
+    edge rows — independent of total history size. Both merge joins
+    shuffle on the partition keys only. At corpus scale, write ``raw``
+    partitioned by the bucket column so the edge join prunes to the two
+    touched buckets per probe instead of scanning history.
+
+    Supported: sum / count / avg / min / max (the reference's pre-agg
+    registry is the same five, aggregator.h). ``probe`` rows are NOT
+    assumed to be in ``raw``; the frame the probe row sees is
+    [t - window_ms, t] over raw rows (append the probe delta to raw
+    first if self-inclusion is wanted)."""
+    keys = list(partition_by)
+    aggs = list(aggs)
+    for a in aggs:
+        if a.fn not in _PREAGG_FNS:
+            raise ValueError(f"{a.fn} has no pre-agg form (registry: "
+                             f"{sorted(_PREAGG_FNS)}); use "
+                             f"long_window_agg for it")
+        if not a.col:
+            raise ValueError(f"pre-agg {a.fn} requires an explicit "
+                             f"value column (count(*) has none)")
+    rid = probe_id or "__lw_rid"
+    p = probe
+    if probe_id is None:
+        from pyspark.sql import Window as _W
+        p = probe.withColumn(
+            rid, F.row_number().over(
+                _W.orderBy(*[F.col(k) for k in keys],
+                           F.col(order_by))))
+    p = (p.withColumn("__lw_t", to_ms(p, order_by))
+          .withColumn("__lw_s", F.col("__lw_t") - F.lit(window_ms))
+          .withColumn("__lw_bt",
+                      F.floor(F.col("__lw_t") / F.lit(bucket_ms)))
+          .withColumn("__lw_bs",
+                      F.floor(F.col("__lw_s") / F.lit(bucket_ms))))
+
+    val_cols = sorted({a.col for a in aggs})
+
+    # ---- full buckets: strictly between the edge buckets. The join is
+    # bounded: <= window/bucket partial rows per probe row (exactly the
+    # reference's merge fan-in), shuffled on the partition keys.
+    pj = p.select(rid, *keys, "__lw_bs", "__lw_bt").alias("p")
+    pa = partials.alias("a")
+    on = None
+    for k in keys:
+        c = pj[k].eqNullSafe(pa[k])
+        on = c if on is None else (on & c)
+    on = on & (pa["__lw_bucket"] > pj["__lw_bs"]) \
+             & (pa["__lw_bucket"] < pj["__lw_bt"])
+    full_aggs = []
+    for c in val_cols:
+        full_aggs += [F.sum(f"a.__lw_{c}_sum").alias(f"__f_{c}_sum"),
+                      F.sum(f"a.__lw_{c}_cnt").alias(f"__f_{c}_cnt"),
+                      F.min(f"a.__lw_{c}_min").alias(f"__f_{c}_min"),
+                      F.max(f"a.__lw_{c}_max").alias(f"__f_{c}_max")]
+    full = (pj.join(pa, on, "left")
+              .groupBy(f"p.{rid}").agg(*full_aggs)
+              .withColumnRenamed(rid, rid))
+
+    # ---- edge rows: raw rows in the two partial buckets inside the
+    # frame. Bounded by 2 x rows-per-bucket per probe row.
+    r = (raw.filter(F.col(order_by).isNotNull())
+            .withColumn("__lw_ord", to_ms(raw, order_by))
+            .withColumn("__lw_bucket",
+                        F.floor(F.col("__lw_ord") / F.lit(bucket_ms)))
+            .alias("r"))
+    pe = p.select(rid, *keys, "__lw_s", "__lw_t", "__lw_bs",
+                  "__lw_bt").alias("p")
+    eon = None
+    for k in keys:
+        c = pe[k].eqNullSafe(r[k])
+        eon = c if eon is None else (eon & c)
+    eon = eon & ((r["__lw_bucket"] == pe["__lw_bs"])
+                 | (r["__lw_bucket"] == pe["__lw_bt"])) \
+              & (r["__lw_ord"] >= pe["__lw_s"]) \
+              & (r["__lw_ord"] <= pe["__lw_t"])
+    edge_aggs = []
+    for c in val_cols:
+        edge_aggs += [F.sum(f"r.{c}").alias(f"__e_{c}_sum"),
+                      F.count(f"r.{c}").alias(f"__e_{c}_cnt"),
+                      F.min(f"r.{c}").alias(f"__e_{c}_min"),
+                      F.max(f"r.{c}").alias(f"__e_{c}_max")]
+    edge = pe.join(r, eon, "left").groupBy(f"p.{rid}").agg(*edge_aggs)
+
+    out = (p.join(full, on=rid, how="left")
+            .join(edge, on=rid, how="left"))
+    sel = [F.col(c) for c in probe.columns] \
+        + ([F.col(rid)] if probe_id is None else [])
+    z = F.lit(0)
+    for a in aggs:
+        c = a.col
+        fs, fc = F.coalesce(f"__f_{c}_sum", z), F.coalesce(f"__f_{c}_cnt", z)
+        es, ec = F.coalesce(f"__e_{c}_sum", z), F.coalesce(f"__e_{c}_cnt", z)
+        cnt = fc + ec
+        if a.fn == "count":
+            sel.append(cnt.alias(a.name))
+        elif a.fn == "sum":
+            sel.append(F.when(cnt > 0, fs + es).alias(a.name))
+        elif a.fn == "avg":
+            sel.append(F.when(cnt > 0, (fs + es) / cnt).alias(a.name))
+        elif a.fn == "min":
+            sel.append(F.least(F.col(f"__f_{c}_min"),
+                               F.col(f"__e_{c}_min")).alias(a.name))
+        else:
+            sel.append(F.greatest(F.col(f"__f_{c}_max"),
+                                  F.col(f"__e_{c}_max")).alias(a.name))
+    return out.select(*sel)

@@ -71,3 +71,43 @@ def test_long_window_plan_has_no_bounded_frame(ev):
     # a bounded range frame would render as "range between -<W> and ..."
     assert f"-{WINDOW_MS + 1}, " not in plan or True  # before-frame end
     assert "specifiedwindowframe(RangeFrame, -604800000," not in plan
+
+
+# ------------------------------------------------ materialized pre-agg path
+
+def test_preagg_backfill_matches_direct(spark):
+    """The materialized-partials merge (full buckets + raw edge rows,
+    reference runner.cc:2967-3108) must equal the direct windowed
+    computation for every probe row, across bucket alignments."""
+    import random
+    from openmldb_spark.operators.long_window import (
+        long_window_agg, long_window_preagg, long_window_agg_backfill)
+    from openmldb_spark.operators.window_agg import Agg
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(400):
+        rows.append((f"k{rng.randrange(5)}",
+                     1_700_000_000_000 + rng.randrange(0, 500_000),
+                     float(rng.randrange(-50, 100))))
+    raw = spark.createDataFrame(rows, "k: string, ts: long, v: double") \
+        .dropDuplicates(["k", "ts"])
+    W, B = 120_000, 10_000
+    aggs = [Agg("s", "sum", "v"), Agg("c", "count", "v"),
+            Agg("a", "avg", "v"), Agg("mn", "min", "v"),
+            Agg("mx", "max", "v")]
+
+    partials = long_window_preagg(raw, ["k"], "ts", B, ["v"])
+    # probe = a sample of raw rows (self-inclusive frames, like direct)
+    probe = raw.sample(0.25, seed=3)
+    got = long_window_agg_backfill(probe, partials, raw, ["k"], "ts",
+                                   W, B, aggs) \
+        .toPandas().sort_values(["k", "ts"]).reset_index(drop=True)
+    exp_full = long_window_agg(raw, ["k"], "ts", W, aggs).toPandas()
+    key = probe.toPandas()[["k", "ts"]]
+    exp = exp_full.merge(key, on=["k", "ts"]) \
+        .sort_values(["k", "ts"]).reset_index(drop=True)
+    assert len(got) == len(exp) and len(got) > 0
+    for c in ("s", "c", "mn", "mx"):
+        assert got[c].tolist() == exp[c].tolist(), c
+    assert (got.a - exp.a).abs().max() < 1e-9
