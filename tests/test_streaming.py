@@ -75,3 +75,87 @@ def test_stream_ingest_appends_to_warehouse(spark, stream_src, tmp_path):
     from openmldb_spark import sessionize
     sess = sessionize(got, "user_id", "ts", gap_ms=10 * 60 * 1000)
     assert sess.agg(F.max("session_id")).collect()[0][0] == 1
+
+
+def test_streaming_stateful_rolling_equals_batch_window(spark, tmp_path):
+    """Online == offline consistency (the reference's core contract):
+    the applyInPandasWithState rolling-feature operator must emit, per
+    event, exactly the batch window_agg stream-peer RANGE frame row.
+    Two micro-batches prove state survives batch boundaries."""
+    import pandas as pd
+    from openmldb_spark.operators.window_agg import (
+        Agg, WindowSpecFE, window_agg)
+    from openmldb_spark.streaming.stateful import (
+        streaming_rolling_features)
+
+    rows = [("k%d" % (i % 3), 1_700_000_000_000 + i * 7_000, i, float(i % 11))
+            for i in range(60)]
+    schema = "k string, ts long, event_id long, v double"
+    src = str(tmp_path / "src")
+    full = spark.createDataFrame(rows, schema)
+    # batch 1 = older half, batch 2 = newer half (in-order arrival)
+    full.filter(F.col("event_id") < 30).coalesce(1) \
+        .write.parquet(src + "/b1")
+    sschema = T.StructType([
+        T.StructField("k", T.StringType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("v", T.DoubleType()),
+    ])
+    stream = spark.readStream.schema(sschema) \
+        .option("maxFilesPerTrigger", "1").parquet(src + "/*")
+    out = streaming_rolling_features(
+        stream, ["k"], "ts", "v", window_ms=30_000, id_col="event_id")
+    q = (out.writeStream.outputMode("append")
+         .format("memory").queryName("roll1").start())
+    q.processAllAvailable()
+    # second batch arrives after the first is fully processed
+    full.filter(F.col("event_id") >= 30).coalesce(1) \
+        .write.parquet(src + "/b2")
+    q.processAllAvailable()
+    q.stop()
+    got = spark.table("roll1").toPandas() \
+        .sort_values("event_id").reset_index(drop=True)
+
+    spec = WindowSpecFE(["k"], "ts", frame="range", start=30_000, end=0,
+                        tiebreak=["event_id"])
+    exp = window_agg(full, spec, [
+        Agg("cnt", "count", "v"), Agg("sum", "sum", "v"),
+        Agg("avg", "avg", "v"), Agg("min", "min", "v"),
+        Agg("max", "max", "v")]).toPandas() \
+        .sort_values("event_id").reset_index(drop=True)
+    assert len(got) == 60
+    assert got.cnt.astype(int).tolist() == exp.cnt.astype(int).tolist()
+    for c in ("sum", "avg", "min", "max"):
+        assert (got[c].astype(float) - exp[c].astype(float)) \
+            .abs().max() < 1e-9, c
+
+
+def test_streaming_stateful_maxsize(spark, tmp_path):
+    """MAXSIZE caps the state buffer (latest-k TTL shape): with
+    maxsize=2 the rolling count never exceeds 2."""
+    from openmldb_spark.streaming.stateful import (
+        streaming_rolling_features)
+
+    src = str(tmp_path / "src2")
+    spark.createDataFrame(
+        [("a", 1_000_000 + i * 1000, i, float(i)) for i in range(8)],
+        "k string, ts long, event_id long, v double") \
+        .coalesce(1).write.parquet(src)
+    sschema = T.StructType([
+        T.StructField("k", T.StringType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("v", T.DoubleType()),
+    ])
+    stream = spark.readStream.schema(sschema).parquet(src)
+    out = streaming_rolling_features(
+        stream, ["k"], "ts", "v", window_ms=3_600_000,
+        id_col="event_id", maxsize=2)
+    q = (out.writeStream.outputMode("append")
+         .format("memory").queryName("roll2").start())
+    q.processAllAvailable(); q.stop()
+    got = spark.table("roll2").toPandas().sort_values("event_id")
+    assert got.cnt.max() == 2
+    # last event: buffer = values 6,7
+    assert got.iloc[-1]["sum"] == 13.0
