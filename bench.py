@@ -68,9 +68,13 @@ def main():
     # (VERDICT r2 #2: r2's min-of-2 recorded a bogus 15x outlier).
     rounds = int(os.environ.get("SPARK_GRAFT_BENCH_ROUNDS", "3"))
     samples: dict[str, list[float]] = {n: [] for n in names}
-    for name in names:                      # warmup, un-timed
-        force(qs[name](spark, sf_dir))
-        spark.catalog.clearCache()          # minhash persists signatures
+    for _ in range(2):                      # warmup x2, un-timed: one
+        # pass leaves the FIRST timed round systematically ~2-3x slow
+        # (whole-stage-codegen JIT still settling), which flagged most
+        # queries "noisy" and drowned the real co-tenant signal
+        for name in names:
+            force(qs[name](spark, sf_dir))
+            spark.catalog.clearCache()      # minhash persists signatures
     for _ in range(rounds):
         for name in names:
             t0 = time.time()
