@@ -172,3 +172,44 @@ def test_external_input_refresh_invalidates(spark, tmp_path):
     spark.range(10).write.mode("overwrite").parquet(src_path)
     out2 = build().run(resume=True)
     assert out2["agg"].collect()[0]["t"] == 45
+
+
+def test_spark_submit_py_files_real_subprocess(tmp_path):
+    """The north-rule deployment shape, literally: package the library,
+    run ``spark-submit --py-files pkg.zip jobs/submit_job.py`` as a real
+    subprocess (separate JVM, code imported from the zip), and check the
+    feature output lands with _SUCCESS."""
+    import shutil
+    import subprocess
+    import sys
+    import zipfile
+    from pathlib import Path
+
+    import pyspark
+
+    submit = Path(pyspark.__file__).parent / "bin" / "spark-submit"
+    if not submit.exists():                      # pragma: no cover
+        pytest.skip("no spark-submit in this pyspark install")
+    repo = Path(__file__).resolve().parents[1]
+    pkg = tmp_path / "pkg.zip"
+    with zipfile.ZipFile(pkg, "w") as z:
+        for p in (repo / "openmldb_spark").rglob("*.py"):
+            z.write(p, p.relative_to(repo))
+    out = tmp_path / "features"
+    env = dict(__import__("os").environ)
+    env["PYSPARK_PYTHON"] = sys.executable
+    env["PYSPARK_DRIVER_PYTHON"] = sys.executable
+    r = subprocess.run(
+        [str(submit), "--master", "local[4]",
+         "--conf", "spark.sql.shuffle.partitions=8",
+         "--py-files", str(pkg),
+         str(repo / "openmldb_spark" / "jobs" / "submit_job.py"),
+         "--input", "/root/testdata/sf0.001/events.parquet",
+         "--checkpoint", str(tmp_path / "ckpt"),
+         "--output", str(out)],
+        capture_output=True, text=True, timeout=360, env=env,
+        cwd=str(tmp_path))                       # NOT the repo: the zip
+    assert r.returncode == 0, r.stderr[-3000:]   # must provide the pkg
+    assert (out / "_SUCCESS").exists()
+    files = list(out.glob("*.parquet"))
+    assert files, "no parquet output written"
