@@ -1,0 +1,99 @@
+"""Physical-plan shape guards — the scale properties docs/PLANS.md
+audits, pinned as executable assertions so a refactor cannot silently
+regress them:
+
+- as-of sort_merge: NO join node at all (union + one hash exchange +
+  forward-fill), the no-row-explosion property;
+- join_rank with null-safe keys: a real equi-join (SortMergeJoin /
+  *HashJoin), never BroadcastNestedLoopJoin / CartesianProduct;
+- predicate pushdown + column pruning reach the parquet scan;
+- the running-difference long window adds exactly one exchange.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_sort_merge_asof_has_no_join_node(spark):
+    from openmldb_spark import last_join
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    right = ev.select("user_id", "ts", F.col("value").alias("pv"))
+    out = last_join(ev, right, on="user_id", order_by="ts",
+                    left_ts="ts", right_ts="ts")
+    p = plan_of(out)
+    assert "Join" not in p, p          # union + window ffill, no join
+    assert p.count("Exchange") <= 2    # one hash exchange (+AQE read)
+
+
+def test_join_rank_null_safe_is_equi_join(spark):
+    from openmldb_spark import last_join
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    right = spark.read.parquet(f"{SF}/events.parquet") \
+        .select("user_id", "ts", F.col("value").alias("pv"))
+    out = last_join(ev, right, on="user_id", order_by="ts",
+                    left_ts="ts", right_ts="ts", strategy="join_rank")
+    p = plan_of(out)
+    assert "BroadcastNestedLoopJoin" not in p, p
+    assert "CartesianProduct" not in p, p
+    assert ("SortMergeJoin" in p or "HashJoin" in p), p
+
+
+def test_parquet_scan_pushdown_and_pruning(spark):
+    from openmldb_spark.operators.table_io import load_data
+
+    df = load_data(spark, f"{SF}/events.parquet") \
+        .filter(F.col("event_type") == "purchase") \
+        .select("event_id", "value")
+    p = plan_of(df)
+    assert "PushedFilters: [" in p and "event_type" in \
+        p.split("PushedFilters:")[1][:200], p
+    rs = p.split("ReadSchema:")[1].splitlines()[0]
+    assert "event_id" in rs and "value" in rs
+    assert "props" not in rs, f"column pruning lost: {rs}"
+
+
+def test_long_window_running_difference_single_exchange(spark):
+    from openmldb_spark.operators.long_window import long_window_agg
+    from openmldb_spark.operators.window_agg import Agg
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    out = long_window_agg(ev, ["user_id"], "ts", 7 * 24 * 3_600_000,
+                          [Agg("c", "count", "value"),
+                           Agg("s", "sum", "value")])
+    p = plan_of(out)
+    assert p.count("Exchange") <= 2, p          # 1 hash (+AQE reads)
+    assert "ArrowEvalPython" not in p and "FlatMapGroupsInPandas" \
+        not in p, "subtractable aggs must stay native"
+
+
+def test_native_window_single_exchange(spark):
+    from openmldb_spark.operators.window_agg import (
+        Agg, WindowSpecFE, window_agg)
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    spec = WindowSpecFE(["user_id"], "ts", frame="range",
+                        start=3_600_000, end=0)
+    out = window_agg(ev, spec, [Agg("c", "count", "value"),
+                                Agg("s", "sum", "value"),
+                                Agg("m", "max", "value")])
+    p = plan_of(out)
+    assert p.count("Exchange") <= 2, p
+    assert "FlatMapGroupsInPandas" not in p, \
+        "plain range frame must take the native path"
