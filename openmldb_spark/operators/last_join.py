@@ -161,10 +161,21 @@ def _join_rank(left: DataFrame, right: DataFrame, keys: list[str],
                broadcast: bool, out_name: dict) -> DataFrame:
     """Left-join + rank-1 filter (reference JoinPlan.scala:149-189 shape,
     with Window instead of reduceByKey)."""
-    l = left.alias("l").withColumn(_ROW_ID, F.monotonically_increasing_id())
+    # alias-qualified refs (F.col("l.x") / F.col("r.x")) instead of
+    # dataset refs (l[x] / r[x]): dataset refs fail Spark's ambiguous-
+    # self-join check whenever `right` derives from `left` (e.g. an
+    # as-of join of events against its own filtered purchases view)
+    l = left.withColumn(_ROW_ID, F.monotonically_increasing_id()) \
+            .alias("l")
     r = right.alias("r")
     if broadcast:
         r = F.broadcast(r)
+
+    def lc(c):
+        return F.col(f"l.`{c}`")
+
+    def rc(c):
+        return F.col(f"r.`{c}`")
     cond = None
     for k in keys:
         # NULL keys match NULL keys in the reference's LAST JOIN (the
@@ -175,20 +186,21 @@ def _join_rank(left: DataFrame, right: DataFrame, keys: list[str],
         # Window.partitionBy; eqNullSafe keeps join_rank consistent —
         # Spark still plans it as an equi-join key (SortMergeJoin on
         # EqualNullSafe), not a cartesian.
-        c = l[k].eqNullSafe(r[k])
+        c = lc(k).eqNullSafe(rc(k))
         cond = c if cond is None else (cond & c)
     if pit:
-        c = r[right_ts] <= l[left_ts]
+        c = rc(right_ts) <= lc(left_ts)
         cond = c if cond is None else (cond & c)
     if extra_cond is not None:
         cond = extra_cond if cond is None else (cond & extra_cond)
     joined = l.join(r, cond, "left")
-    ord_col = r[order_by].asc_nulls_first() if descending else r[order_by].desc_nulls_last()
-    tie = (r[tiebreak].desc_nulls_last() if tiebreak else F.lit(0).asc())
+    ord_col = rc(order_by).asc_nulls_first() if descending \
+        else rc(order_by).desc_nulls_last()
+    tie = (rc(tiebreak).desc_nulls_last() if tiebreak else F.lit(0).asc())
     w = Window.partitionBy(_ROW_ID).orderBy(ord_col, tie)
     ranked = joined.withColumn("__omls_rn", F.row_number().over(w))
     out = ranked.filter(F.col("__omls_rn") == 1).drop("__omls_rn", _ROW_ID)
     # resolve ambiguous key columns: keep left's
-    sel = [l[c].alias(c) for c in left.columns] + \
-          [r[c].alias(out_name[c]) for c in right.columns if c not in keys]
+    sel = [lc(c).alias(c) for c in left.columns] + \
+          [rc(c).alias(out_name[c]) for c in right.columns if c not in keys]
     return out.select(*sel)
