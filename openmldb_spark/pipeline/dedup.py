@@ -73,24 +73,34 @@ def exact_dedup(df: DataFrame, text_col: str = "text",
 
 def minhash_signatures(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", num_hashes: int = 64,
-                       shingle: int = 5, seed: int = 42) -> DataFrame:
+                       shingle: int = 5, seed: int = 42,
+                       fan_out: bool = True) -> DataFrame:
     """MinHash signature per document as ``array<bigint>[num_hashes]``.
 
     Arrow-vectorized pandas kernel, deliberately NOT a Catalyst
     higher-order-function chain: nested ``transform``/``array_min`` HOFs
     are CodegenFallback (interpreted) in Spark and lambda inlining
     re-evaluates the shingle normalization per element per permutation —
-    measured ~370s for 500 docs. The kernel computes byte-level rolling
-    polynomial shingle hashes (numpy sliding windows, uint64 wraparound)
-    and all ``num_hashes`` permutation minima in one broadcasted matrix
-    op: O(len + shingles × num_hashes) numpy ops per doc, one Arrow
-    round-trip per batch.
+    measured ~370s for 500 docs. The kernel is batch-vectorized: the whole
+    Arrow batch is concatenated into ONE byte buffer, the base-257 rolling
+    polynomial shingle hashes are computed in ``shingle`` strided numpy
+    passes over that buffer (uint64 wraparound — bit-identical to the
+    per-doc formulation), cross-document windows are masked out with a
+    ragged-arange index, and each permutation's per-document minima come
+    from ``np.minimum.reduceat`` over segment boundaries. Zero per-row
+    Python in the hot loop; ~20 numpy calls per *batch*, not per doc
+    (the per-doc version measured ~0.3 ms/doc of numpy call overhead).
+
+    ``fan_out``: when the input has fewer partitions than
+    ``defaultParallelism`` (e.g. one small parquet file), repartition up
+    so the kernel uses every core. Gated so it is a no-op at real scale,
+    where the scan already has >> cores partitions — no extra shuffle.
     """
     from pyspark.sql.functions import pandas_udf
 
     params = _hash_params(num_hashes, seed)
-    a_vec = np.array([a for a, _ in params], dtype=np.uint64)[:, None]
-    b_vec = np.array([b for _, b in params], dtype=np.uint64)[:, None]
+    a_list = [np.uint64(a) for a, _ in params]
+    b_list = [np.uint64(b) for _, b in params]
     p = np.uint64(_P)
     k = shingle
     # base-257 rolling polynomial over the raw utf-8 bytes
@@ -100,21 +110,52 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
     def mh(texts: pd.Series) -> pd.Series:
         norm = (texts.fillna("").str.lower()
                 .str.replace(r"\s+", " ", regex=True))
-        out = []
-        for t in norm:
-            b = np.frombuffer(t.encode("utf-8", "ignore"), dtype=np.uint8)
-            if len(b) < k:
-                hs = np.array([int.from_bytes(b.tobytes(), "little")
-                               or 1], dtype=np.uint64)
-            else:
-                win = np.lib.stride_tricks.sliding_window_view(b, k)
-                hs = (win.astype(np.uint64) * powers).sum(axis=1)
-                hs = np.unique(hs)
-            hs = hs % p
-            sig = ((hs[None, :] * a_vec + b_vec) % p).min(axis=1)
-            out.append(sig.astype(np.int64))
+        enc = [t.encode("utf-8", "ignore") for t in norm]
+        n_docs = len(enc)
+        lens = np.fromiter((len(b) for b in enc), dtype=np.int64,
+                           count=n_docs)
+        out: list[np.ndarray | None] = [None] * n_docs
+
+        # short docs (< k bytes): single fallback hash, handled per doc
+        # (rare path — typically zero rows per batch)
+        short = np.nonzero(lens < k)[0]
+        for i in short:
+            h = np.uint64(int.from_bytes(enc[i], "little") or 1) % p
+            out[i] = np.array(
+                [int((h * a + b) % p) for a, b in zip(a_list, b_list)],
+                dtype=np.int64)
+
+        long_idx = np.nonzero(lens >= k)[0]
+        if len(long_idx):
+            buf = np.frombuffer(b"".join(enc), dtype=np.uint8)
+            bu = buf.astype(np.uint64)
+            offsets = np.concatenate(([0], np.cumsum(lens)))[:-1]
+            # all window hashes over the concatenation, k strided passes
+            n_win = len(buf) - k + 1
+            all_h = np.zeros(n_win, dtype=np.uint64)
+            for j in range(k):
+                all_h += bu[j:j + n_win] * powers[j]
+            # ragged arange selecting only windows fully inside one doc
+            counts = lens[long_idx] - k + 1
+            ends = np.cumsum(counts)
+            starts = ends - counts
+            pos = (np.repeat(offsets[long_idx], counts)
+                   + np.arange(int(ends[-1])) - np.repeat(starts, counts))
+            hs = all_h[pos] % p
+            # per-permutation segmented minima (duplicates don't affect
+            # the min, so the per-doc np.unique step is dropped)
+            sigs = np.empty((num_hashes, len(long_idx)), dtype=np.int64)
+            for r, (a, b) in enumerate(zip(a_list, b_list)):
+                sigs[r] = np.minimum.reduceat(
+                    (hs * a + b) % p, starts).astype(np.int64)
+            for c, i in enumerate(long_idx):
+                out[i] = sigs[:, c]
         return pd.Series(out)
 
+    if fan_out:
+        target = df.sparkSession.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < target:
+            df = df.repartition(target)
     return df.select(F.col(id_col), mh(F.col(text_col)).alias("minhash"))
 
 
