@@ -176,11 +176,21 @@ def long_window_agg_backfill(probe: DataFrame, partials: DataFrame,
     rid = probe_id or "__lw_rid"
     p = probe
     if probe_id is None:
-        from pyspark.sql import Window as _W
-        p = probe.withColumn(
-            rid, F.row_number().over(
-                _W.orderBy(*[F.col(k) for k in keys],
-                           F.col(order_by))))
+        # `p` feeds three independent plan branches (full-bucket join,
+        # edge join, final zip); a recomputed id could renumber
+        # duplicate (keys, order_by) probe rows differently between
+        # branch evaluations and silently mispair the merged aggregates
+        # (same hazard as window_agg_multi, ADVICE r2 #1 / r3 medium).
+        # So the id is distributed (monotonically_increasing_id — no
+        # single-partition global sort) and PINNED by materializing
+        # once: checkpoint when a checkpoint dir exists, else
+        # localCheckpoint.
+        p = probe.withColumn(rid, F.monotonically_increasing_id())
+        sc = probe.sparkSession.sparkContext
+        if sc.getCheckpointDir() is not None:
+            p = p.checkpoint(eager=True)
+        else:
+            p = p.localCheckpoint(eager=True)
     p = (p.withColumn("__lw_t", to_ms(p, order_by))
           .withColumn("__lw_s", F.col("__lw_t") - F.lit(window_ms))
           .withColumn("__lw_bt",
