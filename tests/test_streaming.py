@@ -159,3 +159,108 @@ def test_streaming_stateful_maxsize(spark, tmp_path):
     assert got.cnt.max() == 2
     # last event: buffer = values 6,7
     assert got.iloc[-1]["sum"] == 13.0
+
+
+def test_streaming_stateful_bigint_keys(spark, tmp_path):
+    """Key field types at the applyInPandasWithState boundary come from
+    the input schema (ADVICE r3 low #1): a bigint partition key must
+    round-trip as bigint, not be declared string."""
+    from openmldb_spark.streaming.stateful import (
+        streaming_rolling_features)
+
+    src = str(tmp_path / "src3")
+    spark.createDataFrame(
+        [(uid, 1_000_000 + i * 1000, uid * 100 + i, float(i))
+         for uid in (7, 8) for i in range(4)],
+        "uid long, ts long, event_id long, v double") \
+        .coalesce(1).write.parquet(src)
+    sschema = T.StructType([
+        T.StructField("uid", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("v", T.DoubleType()),
+    ])
+    stream = spark.readStream.schema(sschema).parquet(src)
+    out = streaming_rolling_features(
+        stream, ["uid"], "ts", "v", window_ms=2_500, id_col="event_id")
+    assert dict(out.dtypes)["uid"] == "bigint"
+    q = (out.writeStream.outputMode("append")
+         .format("memory").queryName("roll3").start())
+    q.processAllAvailable(); q.stop()
+    got = spark.table("roll3").toPandas().sort_values("event_id")
+    assert sorted(got.uid.unique().tolist()) == [7, 8]
+    # window [t-2500, t] over 1000ms-spaced events: cnt = min(i+1, 3)
+    assert got[got.uid == 7].cnt.tolist() == [1, 2, 3, 3]
+
+
+def _brute_rolling(ts, v, nb, window_ms, maxsize):
+    """Reference loop semantics: front time-eviction, append, cap."""
+    import numpy as np
+    buf = list(zip(ts[:nb], v[:nb]))
+    out = []
+    for t, val in zip(ts[nb:], v[nb:]):
+        buf = [(bt, bv) for bt, bv in buf if bt >= t - window_ms]
+        buf.append((t, val))
+        if maxsize is not None and len(buf) > maxsize:
+            buf = buf[1:]
+        vals = [bv for _, bv in buf if bv == bv]
+        out.append((len(vals), sum(vals) if vals else np.nan,
+                    min(vals) if vals else np.nan,
+                    max(vals) if vals else np.nan))
+    return out
+
+
+def test_rolling_kernel_matches_brute_force():
+    import numpy as np
+    from openmldb_spark.streaming.stateful import rolling_over_ascending
+
+    rng = np.random.RandomState(7)
+    for maxsize in (None, 1, 3):
+        for trial in range(5):
+            n = 80
+            # invariant from the operator: the carried buffer is the
+            # last emitted frame, so nb <= maxsize always holds
+            nb = rng.randint(0, 10 if maxsize is None
+                             else min(10, maxsize + 1))
+            ts = np.cumsum(rng.randint(0, 40, n)).astype(np.int64)
+            v = rng.randn(n)
+            v[rng.rand(n) < 0.1] = np.nan
+            cnt, sm, mn, mx, new_start = rolling_over_ascending(
+                ts, v, nb, 100, maxsize)
+            exp = _brute_rolling(ts, v, nb, 100, maxsize)
+            for i, (ec, es, emn, emx) in enumerate(exp):
+                assert cnt[i] == ec, (maxsize, trial, i)
+                if ec:
+                    assert abs(sm[i] - es) < 1e-9
+                    assert mn[i] == emn and mx[i] == emx
+                else:
+                    assert np.isnan(mn[i]) and np.isnan(mx[i])
+            assert new_start >= 0
+
+
+def test_rolling_kernel_per_event_cost_is_buffer_independent():
+    """VERDICT r3 next #5 done-criterion: per-event cost must not grow
+    with buffer length. Wide window (every frame spans all history) vs
+    narrow window over the same 200k events — a per-event frame
+    recompute would be ~1000x slower on the wide case; the vectorized
+    kernel (searchsorted + cumsums + monotonic-deque rolling) is O(n)
+    either way. Bound is a loose 6x for host noise."""
+    import time
+    import numpy as np
+    from openmldb_spark.streaming.stateful import rolling_over_ascending
+
+    n = 200_000
+    ts = np.arange(n, dtype=np.int64)
+    v = np.random.RandomState(1).randn(n)
+
+    def best_of(window_ms, k=3):
+        best = float("inf")
+        for _ in range(k):
+            t0 = time.perf_counter()
+            rolling_over_ascending(ts, v, 0, window_ms, None)
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    narrow = best_of(50)          # ~50-row frames
+    wide = best_of(10 * n)        # every frame = entire history
+    assert wide < 6 * narrow, (narrow, wide)
