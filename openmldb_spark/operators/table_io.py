@@ -19,12 +19,210 @@ so downstream window/as-of reads hit pre-partitioned data.
 from __future__ import annotations
 
 import os
+import shutil
+import tempfile
 from typing import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 
 
 _FORMATS = ("csv", "parquet", "json")
+
+# SELECT INTO OUTFILE / LOAD DATA INFILE option surface (reference
+# HybridseUtil.scala:300-325 option parsing + validation: unknown keys
+# and wrongly-typed values are REJECTED, v040/test_out_in_offline.yaml
+# cases 12-14). Value spec: "bool" = unquoted true/false literal,
+# "str" = quoted string.
+_OUTFILE_OPTS = {"format": "str", "delimiter": "str", "null_value": "str",
+                 "header": "bool", "quote": "str", "mode": "str",
+                 "coalesce": "int"}
+_INFILE_OPTS = {**_OUTFILE_OPTS, "deep_copy": "bool", "load_mode": "str",
+                "thread": "int"}
+
+
+def parse_csv_options(raw: dict[str, tuple[str, bool]],
+                      surface: str = "outfile") -> dict:
+    """Validate option tokens parsed from ``OPTIONS(k=v, ...)``.
+
+    ``raw`` maps key -> (token, was_quoted). Mirrors the reference's
+    strict option validation: unknown keys error (``head=true``), bool
+    options must be unquoted true/false (``header='true'`` errors),
+    format must be csv or parquet."""
+    spec = _INFILE_OPTS if surface == "infile" else _OUTFILE_OPTS
+    out: dict = {}
+    for k, (tok, quoted) in raw.items():
+        kl = k.lower()
+        if kl not in spec:
+            raise ValueError(f"unknown {surface} option {k!r}")
+        kind = spec[kl]
+        if kind == "bool":
+            if quoted or tok.lower() not in ("true", "false"):
+                raise ValueError(f"option {k} must be a bool literal")
+            out[kl] = tok.lower() == "true"
+        elif kind == "int":
+            if quoted or not tok.lstrip("-").isdigit():
+                raise ValueError(f"option {k} must be an int literal")
+            out[kl] = int(tok)
+        else:
+            if not quoted:
+                raise ValueError(f"option {k} must be a quoted string")
+            out[kl] = tok
+    if out.get("format", "csv") not in ("csv", "parquet"):
+        raise ValueError(f"bad format {out.get('format')!r}")
+    if out.get("mode", "error_if_exists") not in (
+            "error_if_exists", "errorifexists", "overwrite", "append"):
+        raise ValueError(f"bad mode {out.get('mode')!r}")
+    return out
+
+
+def _fmt_for_csv(df: DataFrame) -> DataFrame:
+    """Render columns the way the reference's row codec prints them
+    (v040/test_out_in_offline.yaml `cat` goldens): float/double with 6
+    fixed decimals, timestamps as epoch millis, bools as true/false,
+    dates ISO. Catalyst-only — formatting stays JVM-side."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+    cols = []
+    for f in df.schema.fields:
+        c = F.col(f.name)
+        if isinstance(f.dataType, (T.FloatType, T.DoubleType)):
+            c = F.when(F.col(f.name).isNotNull(),
+                       F.format_string("%.6f", F.col(f.name).cast("double")))
+        elif isinstance(f.dataType, (T.TimestampType, T.TimestampNTZType)):
+            c = F.unix_millis(F.col(f.name).cast("timestamp")).cast("string")
+        elif isinstance(f.dataType, T.BooleanType):
+            c = F.when(F.col(f.name).isNotNull(),
+                       F.when(F.col(f.name), "true").otherwise("false"))
+        cols.append(c.alias(f.name))
+    return df.select(*cols)
+
+
+def write_csv_outfile(df: DataFrame, path: str,
+                      options: dict | None = None) -> int:
+    """SELECT INTO OUTFILE with the reference's FILE-at-path contract:
+    one csv file at ``path``, modes error_if_exists | overwrite |
+    append (append concatenates rows onto the existing file, honoring
+    the per-call header option — test_out_in_offline.yaml#9-11).
+
+    The rows are written distributed (Spark CSV over the formatted
+    frame) into a scratch dir, then the part files are streamed
+    byte-wise into the single target — a single-file export is
+    inherently a funnel, so the merge is file IO only, never a
+    row-level driver collect. Returns the row count written."""
+    opts = dict(options or {})
+    mode = opts.get("mode", "error_if_exists")
+    if mode in ("error_if_exists", "errorifexists") and os.path.exists(path):
+        raise FileExistsError(path)
+    if mode == "append" and not os.path.exists(path):
+        mode = "overwrite"
+    header = opts.get("header", True)
+    null_value = opts.get("null_value", "null")
+    delim = opts.get("delimiter", ",")
+    d = _fmt_for_csv(df)
+    n = d.count()
+    tmp = tempfile.mkdtemp(prefix="omls_outfile_")
+    try:
+        (d.coalesce(1).write.mode("overwrite")
+         .option("header", str(header).lower())
+         .option("sep", delim)
+         .option("nullValue", null_value)
+         .option("emptyValue", "")
+         # the reference codec never quotes (a value containing the
+         # delimiter produces an unreadable file — and its LOAD then
+         # errors, test_out_in_offline.yaml#34)
+         .option("quote", "\u0000")
+         .csv(tmp))
+        parts = sorted(p for p in os.listdir(tmp)
+                       if p.startswith("part-") and p.endswith(".csv"))
+        write_mode = "ab" if mode == "append" else "wb"
+        # the parent directory must exist (reference errors on a
+        # missing export folder, test_out_in_offline.yaml#21)
+        with open(path, write_mode) as dst:
+            for p in parts:
+                with open(os.path.join(tmp, p), "rb") as src:
+                    shutil.copyfileobj(src, dst)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return n
+
+
+def read_csv_infile(spark: SparkSession, path: str, schema,
+                    options: dict | None = None,
+                    strict: bool = True) -> DataFrame:
+    """LOAD DATA INFILE for files written by ``write_csv_outfile``:
+    string-typed scan + explicit casts per the target schema (the
+    reference's codec prints timestamps as epoch ms, which Spark's
+    native timestamp parser rejects).
+
+    Reference contracts (v040/test_out_in_offline.yaml): with a header,
+    file columns map to the table BY NAME — extra file columns are
+    ignored, a missing table column errors (#37 reloads a 10-column
+    export into a 3-column table). Malformed rows (wrong token count —
+    an unquoted delimiter inside a value, #34) error via FAILFAST.
+    ``strict`` rejects values that fail their target cast (#22/#25:
+    loading a string column into an int table is an error, not a
+    silent NULL column) — one extra validation pass over the scan."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+    opts = dict(options or {})
+    header = opts.get("header", True)
+    rd = (spark.read
+          .option("sep", opts.get("delimiter", ","))
+          .option("nullValue", opts.get("null_value", "null"))
+          .option("emptyValue", "")
+          .option("quote", "\u0000")
+          .option("mode", "FAILFAST"))
+    if header:
+        raw = rd.option("header", "true").csv(path)
+        missing = [f.name for f in schema.fields
+                   if f.name not in raw.columns]
+        if missing:
+            raise ValueError(f"csv header lacks table columns {missing}")
+        # interior header lines from append-mode files
+        # (test_out_in_offline.yaml#9): drop rows that repeat the header
+        first = schema.fields[0].name
+        raw = raw.filter((F.col(first) != F.lit(first))
+                         | F.col(first).isNull())
+    else:
+        str_schema = T.StructType([T.StructField(f.name, T.StringType())
+                                   for f in schema.fields])
+        raw = rd.option("header", "false").schema(str_schema).csv(path)
+    cols, checks = [], []
+    for f in schema.fields:
+        c = F.col(f.name).cast("string")
+        if isinstance(f.dataType, (T.TimestampType, T.TimestampNTZType)):
+            cast = F.timestamp_millis(c.cast("long"))
+        elif isinstance(f.dataType, T.BooleanType):
+            cast = F.when(F.lower(c).isin("true", "false"),
+                          F.lower(c) == "true")
+        else:
+            cast = c.cast(f.dataType)
+        cols.append(cast.alias(f.name))
+        checks.append(F.sum((c.isNotNull()
+                             & cast.isNull()).cast("int")))
+    out = raw.select(*cols)
+    if strict:
+        # token-count validation: the codec never quotes, so a value
+        # containing the delimiter produced a wider row — an import
+        # error in the reference (#34), which Spark's lenient csv
+        # parser would otherwise silently truncate
+        import re as _re
+        width = len(raw.columns) if header else len(schema.fields)
+        txt = spark.read.text(path)
+        nbad = (txt.filter(F.col("value") != "")
+                .filter(F.size(F.split(
+                    "value", _re.escape(opts.get("delimiter", ",")), -1))
+                    != width).count())
+        if nbad:
+            raise ValueError(f"{nbad} malformed csv line(s): token "
+                             f"count != {width}")
+        bad = raw.select(*checks).collect()[0]
+        for f, b in zip(schema.fields, bad):
+            if b:
+                raise ValueError(
+                    f"{b} value(s) in column {f.name} do not parse as "
+                    f"{f.dataType.simpleString()}")
+    return out
 
 
 def load_data(spark: SparkSession, path: str, fmt: str = "parquet",
