@@ -164,6 +164,13 @@ FILES = {
     "debug/diff-debug-ttgwm.yaml": 1,
     "debug/diff-debug-ttgwm2.yaml": 1,
     "debug/diff-debug-ttgwm3.yaml": 1,
+    # the offline export/import job surface: SELECT INTO OUTFILE /
+    # LOAD DATA round-trips, option validation, append/overwrite modes
+    # (39/39 at registration; test_load_data.yaml is NOT driven — its
+    # cases read from the reference team's own HDFS cluster paths)
+    "function/v040/test_out_in_offline.yaml": 37,
+    # batch/request-divergent MAXSIZE golden (batch_expect side)
+    "function/ut_case/test_unique_expect.yaml": 1,
 }
 
 _TYPES = {
@@ -514,6 +521,13 @@ def _run_case(spark, case) -> str:
                 return "skip: parameter arity"
             sql = sql.replace("?", lit, 1)
         case = {**case, "sql": sql}
+    if not case.get("expect") and case.get("unequalExpect"):
+        # batch/request-divergent goldens (ut_case/test_unique_expect
+        # .yaml): the two modes legitimately differ — MAXSIZE eviction
+        # sees rows in ts order online but in full-table order in
+        # batch. Take the batch side: that is the mode this engine is.
+        case = {**case,
+                "expect": case["unequalExpect"].get("batch_expect")}
     expect = case.get("expect") or {}
     # error-case conformance: the reference REJECTS these queries; our
     # engine must not silently succeed (VERDICT r2 missing #4). Cases
