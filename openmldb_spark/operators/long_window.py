@@ -269,3 +269,122 @@ def long_window_agg_backfill(probe: DataFrame, partials: DataFrame,
             sel.append(F.greatest(F.col(f"__f_{c}_max"),
                                   F.col(f"__e_{c}_max")).alias(a.name))
     return out.select(*sel)
+
+
+# --------------------------------------------------------------------------
+# Online pre-agg table replica (flushed-bucket contents)
+# --------------------------------------------------------------------------
+
+_BUCKET_UNITS = {"s": 1000, "m": 60_000, "h": 3_600_000, "d": 86_400_000}
+
+
+def parse_bucket(spec) -> tuple[str, int]:
+    """``'2s'/'2m'/'2h'/'2d'`` -> ('range', width_ms); ``'2'``/``2`` ->
+    ('rows', n). The reference's long-window bucket grammar
+    (src/storage/aggregator.cc AlignedStart / WindowType)."""
+    s = str(spec).strip().lower()
+    if s and s[-1] in _BUCKET_UNITS:
+        n = int(s[:-1])
+        if n <= 0:
+            raise ValueError(f"bad bucket spec {spec!r}")
+        return "range", n * _BUCKET_UNITS[s[-1]]
+    n = int(s)
+    if n <= 0:
+        raise ValueError(f"bad bucket spec {spec!r}")
+    return "rows", n
+
+
+def preagg_table(df: DataFrame, partition_by: Sequence[str],
+                 order_by: str, agg_fn: str, value_col: str | None,
+                 bucket, filter_col: str | None = None,
+                 arrival_col: str | None = None) -> DataFrame:
+    """The FLUSHED contents of the reference's online pre-agg table for
+    one long-window aggregate — what ``SELECT key, ts_start, ts_end,
+    num_rows, agg_val, filter_key FROM pre_<db>_<dep>_<w>_<fn>_<col>``
+    returns after all rows are ingested (src/storage/aggregator.cc:100
+    ``Aggregator::Update``; flush rule :189 ``CheckBufferFilled``).
+
+    Semantics replicated exactly:
+
+    - one buffer per (key, filter_key) series; ``filter_key`` is the
+      stringified filter column value (``*_where`` pre-aggs), NULL
+      filter values map to the reference's "" buffer;
+    - time buckets (``'2s'``...): aligned at ``floor(ts/W)*W`` spanning
+      ``[start, start+W-1]``; a bucket only reaches the table when a
+      later event passes its end, so the series' max-ts bucket is still
+      buffered and never appears (the open buffer only moves forward,
+      which makes this exact under out-of-order ingest too —
+      UpdateFlushedBuffer backfills older buckets, aggregator.cc:176);
+    - row buckets (``'2'``): every N arrivals per key one bucket, in
+      arrival order (``arrival_col``, else order-key order);
+      ``ts_start``/``ts_end`` are the first/last arrival's ts; the last
+      bucket is open even when exactly full (flush triggers on the NEXT
+      arrival, aggregator.cc:189); filter columns are rejected, as the
+      reference does (aggregator.cc:128);
+    - ``num_rows`` counts every buffered row; ``agg_val`` skips NULLs
+      (SumAggregator::UpdateAggrVal returns early on NULL); ``count``
+      with a value column counts non-NULL, ``count(*)`` all rows; for
+      ``avg`` the stored value is the running SUM (non-null count rides
+      in num_rows' sibling field, aggregator.h AggrBuffer).
+
+    At scale this is one shuffle (the groupBy) + a per-series window max
+    over the already-aggregated frame (~rows/bucket), so materializing
+    the replica is strictly cheaper than the raw history scan.
+    """
+    fn = agg_fn.lower()
+    if fn not in _PREAGG_FNS:
+        raise ValueError(f"{agg_fn} has no pre-agg form (registry: "
+                         f"{sorted(_PREAGG_FNS)})")
+    keys = list(partition_by)
+    kind, width = parse_bucket(bucket)
+    if kind == "rows" and filter_col is not None:
+        # "unsupport rows bucket window for *_where agg op"
+        raise ValueError("rows-bucket pre-agg cannot carry a filter "
+                         "column (reference aggregator.cc:128)")
+    d = df.filter(F.col(order_by).isNotNull())
+    d = d.withColumn("__pa_ts", to_ms(d, order_by))
+    fk = (F.coalesce(F.col(filter_col).cast("string"), F.lit(""))
+          if filter_col is not None else F.lit(None).cast("string"))
+    d = d.withColumn("__pa_fk", fk)
+
+    if kind == "range":
+        d = d.withColumn("__pa_b",
+                         F.floor(F.col("__pa_ts") / F.lit(width)))
+        ts_start = (F.col("__pa_b") * width).alias("ts_start")
+        ts_end = (F.col("__pa_b") * width + (width - 1)).alias("ts_end")
+    else:
+        order = [arrival_col] if arrival_col else ["__pa_ts"]
+        w = Window.partitionBy(*keys).orderBy(*order)
+        d = d.withColumn(
+            "__pa_b", F.floor((F.row_number().over(w) - 1) / width))
+        ts_start, ts_end = (F.col("__pa_ts_min").alias("ts_start"),
+                            F.col("__pa_ts_max").alias("ts_end"))
+
+    if fn == "count":
+        val = (F.count(F.lit(1)) if value_col is None
+               else F.count(value_col))
+    elif fn == "avg":
+        val = F.sum(value_col)          # buffer stores the running sum
+    else:
+        val = getattr(F, fn)(value_col)
+    if kind == "rows" and arrival_col:
+        # ts_begin_/ts_end_ are the FIRST/LAST arrival's ts, which under
+        # out-of-order ingest need not be the min/max (aggregator.cc:158)
+        first_ts = F.min_by("__pa_ts", arrival_col)
+        last_ts = F.max_by("__pa_ts", arrival_col)
+    else:
+        first_ts, last_ts = F.min("__pa_ts"), F.max("__pa_ts")
+    g = (d.groupBy(*keys, "__pa_fk", "__pa_b")
+          .agg(F.count(F.lit(1)).alias("num_rows"),
+               val.alias("agg_val"),
+               first_ts.alias("__pa_ts_min"),
+               last_ts.alias("__pa_ts_max")))
+    # drop the series' open buffer: max bucket per (key, filter_key)
+    # for time buckets, max bucket per key for row buckets (one buffer
+    # per key there). Window over the grouped frame — tiny.
+    series = keys + (["__pa_fk"] if kind == "range" else [])
+    mx = Window.partitionBy(*series)
+    g = (g.withColumn("__pa_mx", F.max("__pa_b").over(mx))
+          .filter(F.col("__pa_b") < F.col("__pa_mx")))
+    return g.select(*keys, ts_start, ts_end, "num_rows", "agg_val",
+                    F.col("__pa_fk").alias("filter_key"))

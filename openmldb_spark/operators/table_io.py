@@ -146,9 +146,35 @@ def write_csv_outfile(df: DataFrame, path: str,
     return n
 
 
+def csv_cast(c, dtype, string_ts_tz: str | None = None):
+    """Cast a string csv cell to ``dtype`` the way the reference's
+    loaders do: timestamps accept BOTH epoch-ms ints (the codec's own
+    output) and yyyy-MM-dd HH:mm:ss[.S] datetime strings
+    (integration_test/out_in/csv fixtures); bools only true/false;
+    anything unparseable yields NULL (callers decide whether NULL means
+    error — the strict offline codec — or silent coercion, the Spark
+    batch loader). ``string_ts_tz`` names the wall-clock zone datetime
+    STRINGS are recorded in (the reference fixtures and their ms
+    goldens are pinned to its CI's Asia/Shanghai clock); epoch-ms cells
+    are zone-free either way."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+    if isinstance(dtype, (T.TimestampType, T.TimestampNTZType)):
+        ts = F.to_timestamp(c)
+        if string_ts_tz:
+            ts = F.to_utc_timestamp(ts, string_ts_tz)
+        return F.coalesce(F.timestamp_millis(c.cast("long")), ts)
+    if isinstance(dtype, T.BooleanType):
+        return F.when(F.lower(c).isin("true", "false"),
+                      F.lower(c) == "true")
+    return c.cast(dtype)
+
+
 def read_csv_infile(spark: SparkSession, path: str, schema,
                     options: dict | None = None,
-                    strict: bool = True) -> DataFrame:
+                    strict: bool = True,
+                    header_check: bool = True,
+                    string_ts_tz: str | None = None) -> DataFrame:
     """LOAD DATA INFILE for files written by ``write_csv_outfile``:
     string-typed scan + explicit casts per the target schema (the
     reference's codec prints timestamps as epoch ms, which Spark's
@@ -161,7 +187,12 @@ def read_csv_infile(spark: SparkSession, path: str, schema,
     an unquoted delimiter inside a value, #34) error via FAILFAST.
     ``strict`` rejects values that fail their target cast (#22/#25:
     loading a string column into an int table is an error, not a
-    silent NULL column) — one extra validation pass over the scan."""
+    silent NULL column) — one extra validation pass over the scan.
+    ``header_check=False`` skips the first line of every file WITHOUT
+    validating its content and maps columns positionally — the online
+    tablet loader's behavior (integration_test #24: header=true over a
+    headerless file silently consumes the first data row), as opposed
+    to the offline job's by-name mapping."""
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
     opts = dict(options or {})
@@ -172,7 +203,16 @@ def read_csv_infile(spark: SparkSession, path: str, schema,
           .option("emptyValue", "")
           .option("quote", "\u0000")
           .option("mode", "FAILFAST"))
-    if header:
+    if header and not header_check:
+        # blind per-file header skip, positional mapping (enforceSchema
+        # keeps the provided names and ignores the header content)
+        str_schema = T.StructType([T.StructField(f.name, T.StringType())
+                                   for f in schema.fields])
+        raw = rd.option("header", "true").schema(str_schema).csv(path)
+        first = schema.fields[0].name
+        raw = raw.filter((F.col(first) != F.lit(first))
+                         | F.col(first).isNull())
+    elif header:
         raw = rd.option("header", "true").csv(path)
         missing = [f.name for f in schema.fields
                    if f.name not in raw.columns]
@@ -190,13 +230,7 @@ def read_csv_infile(spark: SparkSession, path: str, schema,
     cols, checks = [], []
     for f in schema.fields:
         c = F.col(f.name).cast("string")
-        if isinstance(f.dataType, (T.TimestampType, T.TimestampNTZType)):
-            cast = F.timestamp_millis(c.cast("long"))
-        elif isinstance(f.dataType, T.BooleanType):
-            cast = F.when(F.lower(c).isin("true", "false"),
-                          F.lower(c) == "true")
-        else:
-            cast = c.cast(f.dataType)
+        cast = csv_cast(c, f.dataType, string_ts_tz)
         cols.append(cast.alias(f.name))
         checks.append(F.sum((c.isNotNull()
                              & cast.isNull()).cast("int")))

@@ -111,3 +111,53 @@ def test_preagg_backfill_matches_direct(spark):
     for c in ("s", "c", "mn", "mx"):
         assert got[c].tolist() == exp[c].tolist(), c
     assert (got.a - exp.a).abs().max() < 1e-9
+
+
+def test_preagg_table_replicates_online_flush_state(spark):
+    """preagg_table == the reference pre-agg table's flushed contents
+    (aggregator.cc:100 Update / :189 CheckBufferFilled): the golden from
+    integration_test/long_window/test_count_where.yaml#0 plus the
+    row-bucket shape of test_long_window.yaml#5."""
+    from openmldb_spark.operators.long_window import preagg_table
+
+    # --- time buckets + filter column (count_where c8, filter c2) ----
+    rows = [(1, "aa", 1, 1590738990000, "2020-05-01"),
+            (2, "aa", 1, 1590738991000, "2020-05-02"),
+            (3, "aa", 1, 1590738992000, "2020-05-03"),
+            (4, "aa", 4, 1590738993000, "2020-05-04"),
+            (5, "aa", 5, 1590738994000, "2020-05-05")]
+    df = spark.createDataFrame(
+        rows, "id: int, c1: string, c2: int, c7: long, c8: string")
+    got = sorted(preagg_table(df, ["c1"], "c7", "count", "c8", "2s",
+                              filter_col="c2", arrival_col="id")
+                 .collect())
+    # only the (aa, fk=1) series has an event past its first bucket;
+    # fk=4 / fk=5 buffers are still open and must not appear
+    assert [tuple(r) for r in got] == [
+        ("aa", 1590738990000, 1590738991999, 2, 2, "1")]
+
+    # --- row buckets (N=2): last bucket open even when exactly full --
+    rows2 = [("aa", 1590738990000 + i, 30 + i) for i in range(5)]
+    df2 = spark.createDataFrame(rows2, "c1: string, c7: long, c4: long")
+    got2 = sorted(preagg_table(df2, ["c1"], "c7", "sum", "c4", "2")
+                  .collect())
+    assert [tuple(r) for r in got2] == [
+        ("aa", 1590738990000, 1590738990001, 2, 61, None),
+        ("aa", 1590738990002, 1590738990003, 2, 65, None)]
+    # 4 rows -> bucket 1 is full but unflushed (flush fires on the NEXT
+    # arrival, which never came)
+    got3 = preagg_table(df2.limit(4), ["c1"], "c7", "sum", "c4", "2") \
+        .collect()
+    assert len(got3) == 1 and got3[0]["agg_val"] == 61
+
+    # --- NULL agg values: skipped by agg_val, counted by num_rows ----
+    rows3 = [("aa", 1000, None), ("aa", 1500, 5), ("aa", 9000, 1)]
+    df3 = spark.createDataFrame(rows3, "k: string, ts: long, v: int")
+    got4 = preagg_table(df3, ["k"], "ts", "sum", "v", "2s").collect()
+    assert [tuple(r) for r in got4] == [("aa", 0, 1999, 2, 5, None)]
+
+    # --- rows-bucket + filter column is rejected (aggregator.cc:128) -
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        preagg_table(df, ["c1"], "c7", "count", "c8", "2",
+                     filter_col="c2")
