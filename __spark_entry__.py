@@ -379,6 +379,32 @@ def q_long_window_preagg(spark, sf_dir):
                       _r4("max_7d").alias("max_7d"))
 
 
+def q_preagg_state_sum(spark, sf_dir):
+    """The FLUSHED pre-agg table contents for a 2h-bucket sum — the
+    batch replica of the reference's online aggregator state
+    (src/storage/aggregator.cc:100 Update, :189 CheckBufferFilled):
+    aligned time buckets, per-key open buffer (max bucket) excluded,
+    NULL values skipped by agg_val but counted by num_rows."""
+    from openmldb_spark.operators.long_window import preagg_table
+    ev = _t(spark, sf_dir, "events")
+    out = preagg_table(ev, ["user_id"], "ts", "sum", "value", "2h")
+    return out.select("user_id", "ts_start", "ts_end", "num_rows",
+                      _r4("agg_val").alias("agg_val"), "filter_key")
+
+
+def q_preagg_state_count_where(spark, sf_dir):
+    """Pre-agg state for a *_where aggregate: one buffer per
+    (key, filter_key) series — the stringified filter column value —
+    with the open buffer dropped per series (aggregator.cc:128
+    filter-key buffers; NULL filter values map to the '' buffer)."""
+    from openmldb_spark.operators.long_window import preagg_table
+    ev = _t(spark, sf_dir, "events")
+    out = preagg_table(ev, ["user_id"], "ts", "count", "value", "30m",
+                       filter_col="event_type")
+    return out.select("user_id", "ts_start", "ts_end", "num_rows",
+                      "agg_val", "filter_key")
+
+
 # ---------------------------------------------------------------------------
 # joins
 
@@ -632,6 +658,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multi_window": q_multi_window,
         "long_window": q_long_window,
         "long_window_preagg": q_long_window_preagg,
+        "preagg_state_sum": q_preagg_state_sum,
+        "preagg_state_count_where": q_preagg_state_count_where,
         "last_join_asof": q_last_join_asof,
         "last_join_broadcast": q_last_join_broadcast,
         "left_join": q_left_join,
@@ -1133,6 +1161,43 @@ SELECT * FROM (
   WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts)
                RANGE BETWEEN 604800000 PRECEDING AND CURRENT ROW))
 WHERE event_id % 4 = 0
+""",
+        "preagg_state_sum": """
+WITH d AS (
+  SELECT user_id, epoch_ms(ts) AS ts_ms, value
+  FROM events WHERE ts IS NOT NULL
+),
+g AS (
+  SELECT user_id, CAST(FLOOR(ts_ms / 7200000) AS BIGINT) AS bkt,
+         COUNT(*) AS num_rows, SUM(value) AS agg_val
+  FROM d GROUP BY user_id, bkt
+),
+mx AS (SELECT user_id, MAX(bkt) AS mb FROM g GROUP BY user_id)
+SELECT g.user_id, g.bkt * 7200000 AS ts_start,
+       g.bkt * 7200000 + 7199999 AS ts_end, g.num_rows,
+       ROUND(g.agg_val + 0.000001, 4) AS agg_val,
+       CAST(NULL AS VARCHAR) AS filter_key
+FROM g JOIN mx ON g.user_id = mx.user_id
+WHERE g.bkt < mx.mb
+""",
+        "preagg_state_count_where": """
+WITH d AS (
+  SELECT user_id,
+         COALESCE(CAST(event_type AS VARCHAR), '') AS fk,
+         epoch_ms(ts) AS ts_ms, value
+  FROM events WHERE ts IS NOT NULL
+),
+g AS (
+  SELECT user_id, fk, CAST(FLOOR(ts_ms / 1800000) AS BIGINT) AS bkt,
+         COUNT(*) AS num_rows, COUNT(value) AS agg_val
+  FROM d GROUP BY user_id, fk, bkt
+),
+mx AS (SELECT user_id, fk, MAX(bkt) AS mb FROM g GROUP BY user_id, fk)
+SELECT g.user_id, g.bkt * 1800000 AS ts_start,
+       g.bkt * 1800000 + 1799999 AS ts_end, g.num_rows, g.agg_val,
+       g.fk AS filter_key
+FROM g JOIN mx ON g.user_id = mx.user_id AND g.fk = mx.fk
+WHERE g.bkt < mx.mb
 """,
         "last_join_asof": """
 SELECT e.event_id, e.user_id, epoch_ms(e.ts) AS ts_ms,
