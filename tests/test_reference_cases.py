@@ -228,6 +228,27 @@ FILES = {
     # and offline-mode INSERT is an error (two-store semantics); #2 is
     # TODO-tagged upstream
     "integration_test/ddl/test_execute_mode.yaml": 5,
+    # round-4: the DML INSERT surface — data loads via one INSERT with
+    # an optional column list (unlisted -> NULL), plus the tablet's
+    # insert-time validation contract as error goldens (unknown
+    # table/column, per-tuple arity, NOT NULL coverage/values, quoted
+    # vs bare literal typing, fraction-into-integer)
+    "function/dml/test_insert.yaml": 11,
+    "function/dml/multi_insert.yaml": 11,
+    # prepared-statement variants: the yaml shape is plain rows+select
+    # (the prepared binding lived in the java client, invisible here);
+    # #5 carries a mode tag
+    "function/dml/test_insert_prepared.yaml": 15,
+    # DELETE by index key: equality conjunction on exactly one index's
+    # key set, NULL/empty-string keys, latest-TTL interplay; OR/range/
+    # non-index-column/unknown-table goldens expect errors
+    "function/dml/test_delete.yaml": 31,
+    # the 0.6.0-generation mirrors with real variants: NULL index key
+    # accepted (#11), NULL index-ts INSERT rejected (#12), a shifted
+    # ts golden in the delete file; the other two dml mirrors are
+    # byte-identical and stay undriven
+    "integration_test/dml/test_insert.yaml": 13,
+    "integration_test/dml/test_delete.yaml": 31,
 }
 
 _TYPES = {
@@ -283,7 +304,8 @@ def _coldefs_of(node):
             part = part.strip().strip("`")
             if not part or part.lower().startswith("index"):
                 continue
-            m = _re.match(r"^`?(\w+)`?\s+(\w+)$", part)
+            m = _re.match(r"(?i)^`?(\w+)`?\s+(\w+)(?:\s+not\s+null)?$",
+                          part)
             if m:
                 out.append(f"{m.group(1)} {m.group(2).lower()}")
         return out
@@ -378,9 +400,125 @@ def _parse_insert_literal(tok: str):
     return t          # numeric literal; _conv casts by column type
 
 
+def _notnull_of(node) -> set:
+    """NOT NULL column names from a `create:` DDL input node."""
+    import re as _re
+    if "create" not in node:
+        return set()
+    body = str(node["create"])
+    body = body[body.index("(") + 1:body.rindex(")")]
+    out = set()
+    for part in _split_insert_values(body):
+        m = _re.match(r"(?i)^\s*`?(\w+)`?\s+\w+\s+not\s+null\s*$",
+                      part.strip())
+        if m:
+            out.add(m.group(1))
+    return out
+
+
+_NUM_LIT = __import__("re").compile(
+    r"(?i)^[+-]?(\d+\.?\d*|\.\d+)(e[+-]?\d+)?[lfd]?$")
+
+
+def _parse_insert_rows(stmt: str, coldefs: list, notnull: set):
+    """Parse one INSERT INTO {n} [(cols)] VALUES (...),(...) statement
+    into full-schema-width raw rows, applying the tablet's insert-time
+    validation contract (function/dml goldens): unknown table/column,
+    per-tuple arity, NOT NULL coverage and values, quoted-string typing
+    (a bare non-numeric token is a parse error; a quoted string can't
+    feed a numeric/bool column and an unquoted number can't feed a
+    string/date one), fraction-into-integer rejection.
+    Raises ValueError on any violation."""
+    import re as _re
+    s = " ".join(str(stmt).split()).rstrip(";").strip()
+    m = _re.match(r"(?is)^insert\s+into\s+(\S+?)\s*"
+                  r"(?:\(([^)]*)\)\s*)?values?\s*(\(.*\))$", s)
+    if not m:
+        raise ValueError(f"unparseable INSERT {s[:80]!r}")
+    if not _re.fullmatch(r"\{\d+\}", m.group(1)):
+        raise ValueError(f"unknown table {m.group(1)}")
+    names = [c.rsplit(" ", 1)[0] for c in coldefs]
+    types = {c.rsplit(" ", 1)[0]: c.rsplit(" ", 1)[1] for c in coldefs}
+    if m.group(2):
+        listed = [c.strip().strip("`") for c in m.group(2).split(",")]
+        for c in listed:
+            if c not in types:
+                raise ValueError(f"unknown column {c}")
+    else:
+        listed = names
+    for c in notnull:
+        if c not in listed:
+            raise ValueError(f"NOT NULL column {c} not inserted")
+    rows = []
+    for grp in _split_insert_values(m.group(3)):
+        grp = grp.strip()
+        if not (grp.startswith("(") and grp.endswith(")")):
+            raise ValueError(f"bad INSERT tuple {grp[:40]!r}")
+        toks = _split_insert_values(grp[1:-1])
+        if len(toks) != len(listed):
+            raise ValueError(
+                f"arity {len(toks)} vs {len(listed)} columns")
+        vals = {}
+        for c, tok in zip(listed, toks):
+            t = tok.strip()
+            ty = types[c]
+            if not t or t.lower() == "null":
+                if c in notnull:
+                    raise ValueError(f"NULL into NOT NULL column {c}")
+                vals[c] = None
+            elif t[0] in "'\"":
+                if t[-1] != t[0]:
+                    raise ValueError(f"unterminated literal {t[:20]!r}")
+                if ty in ("string", "date", "timestamp"):
+                    vals[c] = _unescape(t[1:-1])
+                else:
+                    raise ValueError(
+                        f"string literal into {ty} column {c}")
+            elif t.lower() in ("true", "false"):
+                if ty != "bool":
+                    raise ValueError(f"bool literal into {ty} {c}")
+                vals[c] = t.lower() == "true"
+            elif _NUM_LIT.match(t):
+                body = _re.sub(r"(?i)[lfd]$", "", t)
+                num = float(body) if ("." in body or "e" in body.lower()) \
+                    else int(body)
+                if ty in ("string", "date", "bool"):
+                    raise ValueError(f"numeric literal into {ty} {c}")
+                if isinstance(num, float) and ty in (
+                        "int", "int32", "bigint", "int64", "smallint",
+                        "int16", "timestamp"):
+                    raise ValueError(f"fraction into {ty} column {c}")
+                vals[c] = num
+            else:
+                raise ValueError(f"bare token {t[:20]!r} is not a "
+                                 f"literal (missing quotes?)")
+        rows.append([vals.get(n) for n in names])
+    return rows
+
+
 def _rows_of(inp):
+    if inp.get("insert") and "?" in str(inp["insert"]) and "rows" in inp:
+        # prepared INSERT (dml/test_insert_prepared#2): `rows` are the
+        # ?-bindings for the statement's column list; unlisted columns
+        # are NULL
+        import re as _re
+        m = _re.match(r"(?is)^\s*insert\s+into\s+\{\d+\}\s*"
+                      r"\(([^)]*)\)\s*values?\s*\(", str(inp["insert"]))
+        if m:
+            listed = [c.strip() for c in m.group(1).split(",")]
+            names = [c.rsplit(" ", 1)[0] for c in _coldefs_of(inp)]
+            out = []
+            for r in inp["rows"]:
+                vals = dict(zip(listed, r))
+                out.append([vals.get(n) for n in names])
+            return out
     if "rows" in inp:
         return inp["rows"]
+    if inp.get("insert"):
+        # function/dml: data loads through one INSERT statement with
+        # an optional column list; unlisted columns are NULL
+        return _parse_insert_rows(inp["insert"], _coldefs_of(inp),
+                                  _notnull_of(inp))
     if inp.get("inserts"):
         # debug/diff-debug-*.yaml load data through INSERT statements
         import re as _re
@@ -435,37 +573,52 @@ def _apply_index_ttl(df, inp):
     reference, a logical read-time filter here (operators/ttl.py)."""
     from openmldb_spark import count_live, time_live
 
+    # only the FIRST index governs a full-table read: SELECT * scans
+    # through the main index, so a secondary index's tighter TTL does
+    # not expire rows from it (dml/test_delete#22 golden keeps a row
+    # the latest-1 secondary index would have dropped)
     for spec in (inp.get("indexs") or ([inp["index"]] if "index" in inp
-                                       else [])):
-        parts = str(spec).split(":")
-        if len(parts) != 5:
-            continue
-        _, key, ts, ttl, kind = parts
-        if not ttl.strip():
-            continue       # empty TTL field = no expiry (long_window.yaml#1)
-        if kind == "latest":
-            # ttl=0 means NO expiry in the reference (storage/table.h),
-            # not "keep zero rows" (long_window files declare
-            # `index1:c1:c7:0:latest`)
-            if int(ttl) != 0:
-                # ts == 'null': index has no time column — latest-k is
-                # by STORAGE order (fz_ddl/test_luoji.yaml
-                # `index1:reqId:null:1:latest`); the insertion row id
-                # is exactly that order
-                df = count_live(df, key,
-                                _RID if ts == "null" else ts, int(ttl))
-        elif kind == "absolute":
-            m = __import__("re").match(r"^(\d+)([smhd]?)$", ttl)
-            ttl_ms = int(m.group(1)) * _UNITS_MS.get(m.group(2) or "ms", 1)
-            # reference expiry: rows with ts <= now - ttl are expired
-            # (golden case 16: the exactly-at-boundary row is gone), i.e.
-            # keep ts > now - ttl == ts >= (now+1) - ttl
-            if ttl_ms != 0:
-                df = time_live(df, ts, ttl_ms, now_ms=_CURRENT_TIME_MS + 1)
+                                       else []))[:1]:
+        df = _apply_one_ttl(df, spec)
     return df
 
 
-def _build_df(spark, inp, with_rid, keep_null_strings=False):
+def _apply_one_ttl(df, spec):
+    """Apply ONE index spec's TTL — expiry is PER INDEX in the tablet
+    (dml/test_delete#24: a row expired from the main latest-1 index is
+    still readable through the secondary index)."""
+    from openmldb_spark import count_live, time_live
+
+    parts = str(spec).split(":")
+    if len(parts) != 5:
+        return df
+    _, key, ts, ttl, kind = parts
+    if not ttl.strip():
+        return df      # empty TTL field = no expiry (long_window.yaml#1)
+    if kind == "latest":
+        # ttl=0 means NO expiry in the reference (storage/table.h),
+        # not "keep zero rows" (long_window files declare
+        # `index1:c1:c7:0:latest`)
+        if int(ttl) != 0:
+            # ts == 'null': index has no time column — latest-k is
+            # by STORAGE order (fz_ddl/test_luoji.yaml
+            # `index1:reqId:null:1:latest`); the insertion row id
+            # is exactly that order
+            df = count_live(df, key,
+                            _RID if ts == "null" else ts, int(ttl))
+    elif kind == "absolute":
+        m = __import__("re").match(r"^(\d+)([smhd]?)$", ttl)
+        ttl_ms = int(m.group(1)) * _UNITS_MS.get(m.group(2) or "ms", 1)
+        # reference expiry: rows with ts <= now - ttl are expired
+        # (golden case 16: the exactly-at-boundary row is gone), i.e.
+        # keep ts > now - ttl == ts >= (now+1) - ttl
+        if ttl_ms != 0:
+            df = time_live(df, ts, ttl_ms, now_ms=_CURRENT_TIME_MS + 1)
+    return df
+
+
+def _build_df(spark, inp, with_rid, keep_null_strings=False,
+              apply_ttl=True):
     # keep_null_strings: the out_in cases distinguish the LITERAL
     # string 'null' from NULL in string columns (test_out_in_offline
     # #17/#18 write both through null_value='' and expect different
@@ -505,7 +658,7 @@ def _build_df(spark, inp, with_rid, keep_null_strings=False):
         df = spark.createDataFrame(
             pdf, T.StructType(list(schema.fields)
                               + [T.StructField(_RID, T.LongType())]))
-    return _apply_index_ttl(df, inp)
+    return _apply_index_ttl(df, inp) if apply_ttl else df
 
 
 def _values_match(got, exp, dtype_str) -> bool:
@@ -594,11 +747,37 @@ def _run_case(spark, case, fname: str | None = None) -> str:
     if case.get("sqls") and any(
             __import__("re").search(
                 r"(?i)\b(outfile|load\s+data|insert\s+into|"
-                r"show\s+variables|set\s+@@)", str(s))
+                r"show\s+variables|set\s+@@|delete\s+from)", str(s))
             for s in case["sqls"]):
         return _run_outfile_case(spark, case, fname)
     if not case.get("sql") or case.get("sqls"):
         return "skip: no single sql"
+    if __import__("re").match(r"(?i)^\s*insert\b", str(case["sql"])):
+        # DML INSERT as the case statement (function/dml error cases):
+        # apply the tablet's insert-time validation contract
+        exp = case.get("expect") or {}
+        inp = (case.get("inputs") or [{}])[0]
+        try:
+            rows = _parse_insert_rows(case["sql"], _coldefs_of(inp),
+                                      _notnull_of(inp))
+            # tablet INSERT rejects a NULL index-ts key
+            # (integration_test/dml/test_insert#12)
+            idx0 = str((inp.get("indexs") or [""])[0]).split(":")
+            if len(idx0) >= 3:
+                names = [c.rsplit(" ", 1)[0] for c in _coldefs_of(inp)]
+                if idx0[2] in names:
+                    i_ts = names.index(idx0[2])
+                    if any(r[i_ts] is None for r in rows):
+                        raise ValueError(
+                            f"INSERT rejects NULL ts {idx0[2]}")
+        except (ValueError, KeyError) as e:
+            if exp.get("success") is False:
+                return "pass"
+            raise AssertionError(f"INSERT case rejected: {e}")
+        if exp.get("success") is False:
+            raise AssertionError(
+                "insert-error case validated successfully")
+        return "skip: success INSERT as case sql"
     if case.get("parameters"):
         # parameterized query: bind each ? positionally with a literal
         try:
@@ -972,6 +1151,43 @@ def _run_outfile_case(spark, case, fname: str | None = None) -> str:
             return tables
         return tables if mode_now[0] == "online" else offline
 
+    # per-table DELETE state (dml/test_delete): the tablet stores one
+    # row set PER INDEX — each index applies its OWN TTL, a DELETE
+    # removes the key from every index whose key set matches, and a
+    # read scans through the index the query selects (the last
+    # window's partition key; a plain SELECT * reads the main index).
+    del_state = {}
+
+    def _alive(ti: int, j: int):
+        st = del_state[ti]
+        if j not in st["per_idx"]:
+            specs = (inputs[ti].get("indexs")
+                     or inputs[ti].get("index") or [])
+            st["per_idx"][j] = _apply_one_ttl(st["raw"], specs[j]) \
+                if j < len(specs) else st["raw"]
+        return st["per_idx"][j]
+
+    def eff(ti: int, sql_text: str | None = None):
+        st = del_state.get(ti)
+        if st is None:
+            return cur()[ti]
+        j = 0
+        if sql_text:
+            pks = _re.findall(r"(?is)partition\s+by\s+(.+?)\s+order\s",
+                              str(sql_text))
+            if pks:
+                want = {_re.sub(r"^\s*(?:\{\d+\}|\w+)\.", "", c).strip()
+                        for c in pks[-1].split(",")}
+                ks = idx_keys[ti] if ti < len(idx_keys) else []
+                for cand, k in enumerate(ks):
+                    if k == want:
+                        j = cand
+                        break
+        return _alive(ti, j)
+
+    def eff_tables(sql_text: str | None = None):
+        return [eff(i, sql_text) for i in range(len(tables))]
+
     def _index_ts(inp) -> str | None:
         idx = (inp.get("indexs") or inp.get("index") or [None])[0]
         parts = str(idx).split(":") if idx else []
@@ -981,6 +1197,17 @@ def _run_outfile_case(spark, case, fname: str | None = None) -> str:
     # whose ts key is NULL, which is the strictness the integration
     # goldens actually encode (see the online LOAD branch below)
     ts_cols = [_index_ts(inp) for inp in inputs]
+
+    def _key_sets(inp) -> list:
+        """Key-column sets of every declared index, e.g.
+        ``index1:c1|c2:c7`` -> {c1, c2} (DELETE routes by index)."""
+        out = []
+        for idx in (inp.get("indexs") or inp.get("index") or []):
+            parts = str(idx).split(":")
+            if len(parts) >= 2:
+                out.append({c.strip() for c in parts[1].split("|")})
+        return out
+    idx_keys = [_key_sets(inp) for inp in inputs]
 
     def _lenient_read(p, sch, opts):
         # the reference's batch loader (LoadDataPlan.scala = Spark csv)
@@ -1098,9 +1325,9 @@ def _run_outfile_case(spark, case, fname: str | None = None) -> str:
             sel = _re.sub(r"\b\w+\.(\{\d+\})", r"\1", sel)
             mm = _re.match(r"(?i)^select \* from \{(\d+)\}$", sel)
             if mm:
-                df = cur()[int(mm.group(1))].drop(_RID)
+                df = eff(int(mm.group(1))).drop(_RID)
             else:
-                df = _route_case_sql(spark, sel, cur(), names)
+                df = _route_case_sql(spark, sel, eff_tables(sel), names)
                 if _RID in df.columns:
                     df = df.drop(_RID)
             if opts.get("format", "csv") == "parquet":
@@ -1227,7 +1454,7 @@ def _run_outfile_case(spark, case, fname: str | None = None) -> str:
         if m:
             if m.group(1) and m.group(1) not in dbs:
                 raise ValueError(f"unknown database {m.group(1)}")
-            df = cur()[int(m.group(2))]
+            df = eff(int(m.group(2)))
             last_select = (s, df)
             return
         m = _re.match(r"(?i)^drop\s+table\s+\{(\d+)\}$", s)
@@ -1248,6 +1475,55 @@ def _run_outfile_case(spark, case, fname: str | None = None) -> str:
                                  + [T.StructField(_RID, T.LongType())]))
             tables[ti], offline[ti], linked[ti] = empty, empty, False
             return
+        m = _re.match(r"(?i)^delete\s+from\s+(?:(\w+)\.)?\{(\d+)\}\s+"
+                      r"where\s+(.+)$", s)
+        if m:
+            # the tablet's DELETE contract (function/dml/test_delete):
+            # an equality conjunction on EXACTLY the key columns of one
+            # declared index; OR / ranges / non-index columns error
+            if m.group(1) and m.group(1) not in dbs:
+                raise ValueError(f"unknown database {m.group(1)}")
+            ti = int(m.group(2))
+            cond_txt = m.group(3).strip()
+            if _re.search(r"(?i)\bor\b", cond_txt):
+                raise ValueError("DELETE supports AND conjunction only")
+            tgt = cur()[ti]
+            types = {f.name: f.dataType for f in tgt.schema.fields}
+            conds = {}
+            for c in _re.split(r"(?i)\s+and\s+", cond_txt):
+                mm = _re.match(r"^`?(\w+)`?\s*=\s*(.+)$", c.strip())
+                if not mm or _re.match(r"^`?\w+`?\s*[!<>]", c.strip()):
+                    raise ValueError(f"DELETE supports = only: {c!r}")
+                col, lit = mm.group(1), mm.group(2).strip()
+                if col not in types:
+                    raise ValueError(f"unknown column {col}")
+                conds[col] = None if lit.lower() == "null" \
+                    else _conv(_parse_insert_literal(lit), types[col])
+            ks = idx_keys[ti] if ti < len(idx_keys) else []
+            matched = [j for j, k in enumerate(ks) if set(conds) == k]
+            if not matched:
+                raise ValueError(
+                    f"DELETE key set {sorted(conds)} matches no index")
+            keep = F.lit(False)
+            for col, v in conds.items():
+                miss = (F.col(col).isNotNull() if v is None
+                        else ~F.col(col).eqNullSafe(F.lit(v)))
+                keep = keep | miss
+            # deletion is PER INDEX: the key is removed from every
+            # index whose key set matches; rows stay reachable through
+            # other indexes (#17: two deletes on different indexes;
+            # #24: a row expired from the main index's latest-1 TTL is
+            # still served by the secondary index)
+            if ti not in del_state:
+                del_state[ti] = {"per_idx": {}, "raw": _build_df(
+                    spark, inputs[ti], with_rid=True,
+                    keep_null_strings=True, apply_ttl=False)}
+            for j in matched:
+                del_state[ti]["per_idx"][j] = \
+                    _alive(ti, j).filter(keep)
+            return
+        if _re.match(r"(?i)^delete\b", s):
+            raise ValueError(f"unsupported DELETE {s[:60]!r}")
         if _re.match(r"(?i)^insert\b", s):
             m = _re.match(r"(?is)^insert\s+into\s+\{(\d+)\}\s+"
                           r"values?\s*(\(.*\))$", s)
@@ -1294,14 +1570,18 @@ def _run_outfile_case(spark, case, fname: str | None = None) -> str:
             return
         m = _re.match(r"(?i)^select\b", s)
         if m:
-            df = _route_case_sql(spark, s, cur(), names)
+            df = _route_case_sql(spark, s, eff_tables(s), names)
             last_select = (s, df)
             return
         raise ValueError(f"unsupported statement {s[:60]!r}")
 
     stmt_errors = []
+    # dml/test_delete #4/#17/#24 put the final query in `sql:` after
+    # the `sqls:` sequence — execute it as the sequence's last statement
+    all_stmts = list(case["sqls"]) + ([case["sql"]]
+                                      if case.get("sql") else [])
     try:
-        for stmt in case["sqls"]:
+        for stmt in all_stmts:
             try:
                 run_stmt(stmt)
             except Exception as e:
