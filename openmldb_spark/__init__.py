@@ -35,6 +35,8 @@ from openmldb_spark.operators.ttl import (  # noqa: F401
     time_live, count_live, time_and_count_live)
 from openmldb_spark.operators.table_io import (  # noqa: F401
     load_data, select_into, Warehouse)
+from openmldb_spark.ddl import (  # noqa: F401
+    DDLError, TableDef, parse_create_table, ttl_filter)
 from openmldb_spark.jobs import CheckpointedJob  # noqa: F401
 
 __version__ = "0.2.0"

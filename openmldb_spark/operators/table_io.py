@@ -28,6 +28,15 @@ from pyspark.sql import DataFrame, SparkSession
 
 _FORMATS = ("csv", "parquet", "json")
 
+# DDL dialect type -> Spark SQL type (openmldb_spark/ddl.py columns)
+_SPARK_TYPES = {
+    "string": "string", "varchar": "string", "int": "int",
+    "int32": "int", "smallint": "smallint", "int16": "smallint",
+    "bigint": "bigint", "int64": "bigint", "float": "float",
+    "double": "double", "timestamp": "timestamp", "date": "date",
+    "bool": "boolean",
+}
+
 # SELECT INTO OUTFILE / LOAD DATA INFILE option surface (reference
 # HybridseUtil.scala:300-325 option parsing + validation: unknown keys
 # and wrongly-typed values are REJECTED, v040/test_out_in_offline.yaml
@@ -364,10 +373,52 @@ class Warehouse:
                 w = w.partitionBy(*partition_by)
         w.parquet(p)
 
+    def create_table(self, ddl_sql: str, db: str = "default"):
+        """CREATE TABLE from the reference's DDL dialect: parse +
+        validate through the DDL front-end (openmldb_spark/ddl.py —
+        identifier/type/index/TTL/options rules), then materialize an
+        empty table in the warehouse laid out for its MAIN index:
+        partitioned into ``partition_num`` buckets by the index keys
+        and sorted by (keys, ts), so appended data lands co-located
+        for the window/as-of operators (one shuffle, not two).
+        Returns the parsed TableDef."""
+        from openmldb_spark.ddl import parse_create_table
+
+        existing = []
+        dbdir = os.path.join(self.root, db)
+        if not self.catalog and os.path.isdir(dbdir):
+            existing = os.listdir(dbdir)
+        tdef = parse_create_table(ddl_sql, existing=existing)
+        fields = []
+        for c in tdef.columns:
+            fields.append(f"`{c.name}` {_SPARK_TYPES[c.type]}"
+                          + (" NOT NULL" if c.not_null else ""))
+        schema = ", ".join(fields)
+        empty = self.spark.createDataFrame([], schema)
+        idx = tdef.indexes[0] if tdef.indexes else None
+        self.write(empty, f"{db}.{tdef.name}",
+                   buckets=tdef.partition_num if idx else None,
+                   sort_by=(tuple(idx.keys) + ((idx.ts,) if idx.ts
+                                               else ())) if idx else ())
+        return tdef
+
     def read(self, table: str) -> DataFrame:
         if self.catalog:
             return self.spark.table(self._ident(table))
         return self.spark.read.parquet(self._path(table))
+
+    def read_live(self, table: str, tdef,
+                  now_ms: int | None = None) -> DataFrame:
+        """Read a table with its MAIN index's TTL applied as the
+        read-time expiry filter (the storage GC of the reference's
+        tablet, expressed over an append-only warehouse —
+        openmldb_spark/ddl.ttl_filter)."""
+        from openmldb_spark.ddl import ttl_filter
+
+        df = self.read(table)
+        if tdef.indexes:
+            df = ttl_filter(df, tdef.indexes[0], now_ms=now_ms)
+        return df
 
     def exists(self, table: str) -> bool:
         if self.catalog:

@@ -74,9 +74,12 @@ def time_and_count_live(df: DataFrame, keys: str | Sequence[str],
                         now_ms: int | None = None,
                         tiebreak: Sequence[str] = (),
                         combine: str = "and") -> DataFrame:
-    """kTTLTimeLiveAndCountLive: 'and' keeps rows passing BOTH filters
-    (expire if old OR beyond count — the reference's absandlat);
-    'or' keeps rows passing EITHER (absorlat)."""
+    """kTTLTimeLiveAndCountLive: 'and' keeps rows passing BOTH filters,
+    i.e. a row expires when it is old OR beyond the count — the
+    reference's **absorlat** (ddl/test_ttl.yaml#23: three stale rows
+    under ttl=(10m,2) all expire). 'or' keeps rows passing EITHER
+    filter, i.e. a row expires only when old AND beyond the count —
+    the reference's **absandlat** (storage/mem_table.cc TTLType)."""
     if combine == "and":
         return count_live(time_live(df, ts_col, ttl_ms, now_ms), keys,
                           ts_col, k, tiebreak)

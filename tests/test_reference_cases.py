@@ -118,8 +118,8 @@ FILES = {
     "integration_test/function/test_udaf_table.yaml": 4,
     # table-level *_cate / top_n_*_cate via registered grouped-agg
     # pandas UDFs; *_where via Catalyst CASE rewrite (sql_udafs.py)
-    "integration_test/select/test_full_table.yaml": 5,
-    "integration_test/select/test_limit.yaml": 7,
+    "integration_test/select/test_full_table.yaml": 6,
+    "integration_test/select/test_limit.yaml": 10,
     # these four carry preAgg goldens — the reference's RECORDED
     # pre-agg table contents (PreAggChecker.java) — verified against
     # long_window.preagg_table's batch replica of the online
@@ -249,6 +249,25 @@ FILES = {
     # byte-identical and stay undriven
     "integration_test/dml/test_insert.yaml": 13,
     "integration_test/dml/test_delete.yaml": 31,
+    # round-4: the CREATE TABLE contract through the engine DDL
+    # front-end (openmldb_spark/ddl.py): identifier/reserved-word and
+    # type validation, index key/ts type rules with auto-key-pick, the
+    # TTL literal slot semantics with abs/latest bounds, and OPTIONS
+    # partitionnum/replicanum/distribution resolution; TODO-tagged
+    # cases skip per the reference's own markers. TTL expiry goldens
+    # (absolute / latest-with-ties / absorlat) run against the ttl
+    # operators through ddl.ttl_filter
+    "function/ddl/test_ttl.yaml": 25,
+    "function/ddl/test_options.yaml": 22,
+    "function/ddl/test_create.yaml": 49,
+    # the current-generation mirrors: OPTIONS under node_adapter.cc
+    # semantics (distribution DEFINES both counts, duplicates allowed,
+    # exact partitionnum match), the previously-TODO combined-TTL
+    # expiry goldens (absolute partial / absorlat / absandlat) now
+    # active, __-prefixed identifiers
+    "integration_test/ddl/test_ttl.yaml": 30,
+    "integration_test/ddl/test_options.yaml": 27,
+    "integration_test/ddl/test_create.yaml": 50,
 }
 
 _TYPES = {
@@ -290,8 +309,12 @@ def _coldefs_of(node):
     """Normalize the two column-spec forms to ["name type", ...]:
     ``columns: ["c1 string", ...]`` or ``schema: c1:string, c2:int32``."""
     if "columns" in node:
-        return [c.replace(":", " ") if " " not in c.strip() and ":" in c
-                else c for c in node["columns"]]
+        import re as _re
+        # a columns: entry may carry NOT NULL (ddl/test_create#4)
+        return [_re.sub(r"(?i)\s+not\s+null\s*$", "",
+                        c.replace(":", " ")
+                        if " " not in c.strip() and ":" in c else c)
+                for c in node["columns"]]
     if "create" in node:
         # debug/diff-debug-*.yaml inputs declare schema via CREATE TABLE
         # DDL. Parse the column list; `index(...)` entries carry storage
@@ -360,6 +383,10 @@ def _conv(value, dtype):
     if isinstance(dtype, T.BooleanType):
         if isinstance(value, bool):
             return value
+        if isinstance(value, (int, float)):
+            # numeric literal into bool: nonzero = true
+            # (ddl/test_create.yaml#44)
+            return value != 0
         return str(value).lower() == "true"
     return _unescape(str(value))
 
@@ -577,8 +604,27 @@ def _apply_index_ttl(df, inp):
     # through the main index, so a secondary index's tighter TTL does
     # not expire rows from it (dml/test_delete#22 golden keeps a row
     # the latest-1 secondary index would have dropped)
-    for spec in (inp.get("indexs") or ([inp["index"]] if "index" in inp
-                                       else []))[:1]:
+    specs = (inp.get("indexs") or ([inp["index"]] if "index" in inp
+                                   else []))
+    if not specs and "create" in inp:
+        # inputs declared via CREATE TABLE DDL carry their TTL in the
+        # index(...) clause (ddl/test_ttl.yaml #8/#10/#20): parse it
+        # through the engine's DDL front-end and apply the main
+        # index's expiry
+        import re as _re
+        from openmldb_spark.ddl import DDLError, parse_create_table, \
+            ttl_filter
+        txt = _re.sub(r"\{(\d+)\}", lambda m: f"t{m.group(1)}",
+                      str(inp["create"]))
+        try:
+            tdef = parse_create_table(txt)
+        except DDLError:
+            return df
+        for idx in tdef.indexes[:1]:
+            if idx.ts and (idx.abs_ttl_ms or idx.lat_ttl):
+                df = ttl_filter(df, idx, now_ms=_CURRENT_TIME_MS + 1)
+        return df
+    for spec in specs[:1]:
         df = _apply_one_ttl(df, spec)
     return df
 
@@ -595,6 +641,22 @@ def _apply_one_ttl(df, spec):
     _, key, ts, ttl, kind = parts
     if not ttl.strip():
         return df      # empty TTL field = no expiry (long_window.yaml#1)
+    if kind in ("absorlat", "absandlat"):
+        # combined TTL spec `(10m,2)` (ddl/test_ttl.yaml #23/#26-28):
+        # absorlat expires when old OR beyond count, absandlat only
+        # when old AND beyond count (operators/ttl.py)
+        from openmldb_spark.operators.ttl import time_and_count_live
+        m = __import__("re").fullmatch(
+            r"\(\s*(\d+)([smhd])\s*,\s*(\d+)\s*\)", ttl.strip())
+        if not m:
+            return df
+        abs_ms = int(m.group(1)) * _UNITS_MS[m.group(2)]
+        lat = int(m.group(3))
+        tie = (_RID,) if _RID in df.columns else ()
+        return time_and_count_live(
+            df, key.split("|"), ts, abs_ms, lat,
+            now_ms=_CURRENT_TIME_MS + 1, tiebreak=tie,
+            combine="and" if kind == "absorlat" else "or")
     if kind == "latest":
         # ttl=0 means NO expiry in the reference (storage/table.h),
         # not "keep zero rows" (long_window files declare
@@ -604,8 +666,12 @@ def _apply_one_ttl(df, spec):
             # by STORAGE order (fz_ddl/test_luoji.yaml
             # `index1:reqId:null:1:latest`); the insertion row id
             # is exactly that order
+            # same-ts ties keep the LATEST INSERTED row
+            # (ddl/test_ttl.yaml#21) — insertion order is the row id
             df = count_live(df, key,
-                            _RID if ts == "null" else ts, int(ttl))
+                            _RID if ts == "null" else ts, int(ttl),
+                            tiebreak=(_RID,)
+                            if _RID in df.columns else ())
     elif kind == "absolute":
         m = __import__("re").match(r"^(\d+)([smhd]?)$", ttl)
         ttl_ms = int(m.group(1)) * _UNITS_MS.get(m.group(2) or "ms", 1)
@@ -778,6 +844,39 @@ def _run_case(spark, case, fname: str | None = None) -> str:
             raise AssertionError(
                 "insert-error case validated successfully")
         return "skip: success INSERT as case sql"
+    if __import__("re").match(r"(?i)^\s*create\s+table\b",
+                              str(case["sql"])):
+        # DDL validation cases (function/ddl): the CREATE TABLE
+        # contract through the engine's DDL front-end
+        import re as _re
+        from openmldb_spark.ddl import (
+            ClusterSpec, DDLError, parse_create_table)
+        exp = case.get("expect") or {}
+        sql = str(case["sql"])
+        sql = sql.replace("{auto}", "auto_t")
+        sql = _re.sub(r"\{tb_endpoint_(\d+)\}", r"ep\1", sql)
+        existing = [f"t{i}" for i in range(len(case.get("inputs")
+                                               or []))]
+        sql = _re.sub(r"\{(\d+)\}", lambda m: f"t{m.group(1)}", sql)
+        try:
+            tdef = parse_create_table(
+                sql, existing=existing,
+                cluster=ClusterSpec(tablets=("ep0", "ep1", "ep2")),
+                legacy_options=(fname or "").startswith("function/"))
+        except DDLError:
+            if exp.get("success") is False:
+                return "pass"
+            raise
+        if exp.get("success") is False:
+            raise AssertionError("DDL error case parsed successfully")
+        want = exp.get("options") or {}
+        if "partitionNum" in want:
+            assert tdef.partition_num == want["partitionNum"], \
+                f"partitionNum {tdef.partition_num} vs {want}"
+        if "replicaNum" in want:
+            assert tdef.replica_num == want["replicaNum"], \
+                f"replicaNum {tdef.replica_num} vs {want}"
+        return "pass"
     if case.get("parameters"):
         # parameterized query: bind each ? positionally with a literal
         try:
@@ -813,7 +912,7 @@ def _run_case(spark, case, fname: str | None = None) -> str:
         # a capability superset, not a divergence
         return "skip: reference long-window strategy limitation " \
                "(supported here)"
-    success_only = False
+    success_only = count_only = schema_only = False
     if not is_err:
         if not (("columns" in expect or "schema" in expect)
                 and ("rows" in expect or "data" in expect
@@ -825,6 +924,13 @@ def _run_case(spark, case, fname: str | None = None) -> str:
                 # fz_ddl/test_bank) is compile+run success, no golden
                 # rows — mirror that contract exactly
                 success_only = True
+            elif "count" in expect and "rows" not in expect:
+                # count-only golden (ddl/test_ttl#20: all rows expired)
+                count_only = True
+            elif "columns" in expect or "schema" in expect:
+                # schema-only golden (ddl/test_create#24/#25: the
+                # bigint-ts table is queryable with this shape)
+                schema_only = True
             else:
                 return "skip: no golden rows"
     inputs = case.get("inputs") or []
@@ -947,7 +1053,8 @@ def _run_case(spark, case, fname: str | None = None) -> str:
             else "skip: provider without golden rows"
     res = _exec_sql_case(spark, case["sql"], tables, expect, names,
                          n_input_rows, expect_error=is_err,
-                         success_only=success_only)
+                         success_only=success_only,
+                         count_only=count_only, schema_only=schema_only)
     if res == "pass" and not is_err:
         res = _check_preagg(spark, case, case["sql"], expect, tables)
     return res
@@ -1789,7 +1896,8 @@ def _route_case_sql(spark, sql, tables, names=None, _expanded=False):
 
 def _exec_sql_case(spark, sql, tables, expect, names=None,
                    n_input_rows=None, expect_error=False,
-                   success_only=False, got_override=None) -> str:
+                   success_only=False, got_override=None,
+                   count_only=False, schema_only=False) -> str:
     from pyspark.errors import AnalysisException, ParseException
     from openmldb_spark.sql import run_general_sql
 
@@ -1838,6 +1946,17 @@ def _exec_sql_case(spark, sql, tables, expect, names=None,
         # the reference asserts compile+run success only for this case;
         # execution reached collect() with a well-formed result
         assert len(got.columns) > 0
+        return "pass"
+    if count_only:
+        want = int(expect["count"])
+        assert len(got) == want, f"row count {len(got)} vs {want}"
+        return "pass"
+    if schema_only:
+        exp_names = [c.rsplit(" ", 1)[0].strip()
+                     for c in _coldefs_of(expect)]
+        got_cols = [c for c in got.columns if c != _RID]
+        assert got_cols == exp_names, \
+            f"result columns {got_cols} vs {exp_names}"
         return "pass"
 
     exp_cols = _coldefs_of(expect)

@@ -82,3 +82,31 @@ def test_warehouse_iceberg_mode(spark, tmp_path):
         spark.conf.get("spark.sql.catalog.ice")
     except Exception:
         pytest.skip("no Iceberg catalog configured in this environment")
+
+
+def test_warehouse_create_table_from_ddl(spark, tmp_path):
+    from openmldb_spark.ddl import DDLError
+    from openmldb_spark.operators.table_io import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    tdef = wh.create_table(
+        "create table conv (conv_id string NOT NULL, turn_idx int, "
+        "role string, ts timestamp, "
+        "index(key=(conv_id), ts=ts, ttl=(2), ttl_type=latest))")
+    assert tdef.name == "conv" and tdef.indexes[0].lat_ttl == 2
+    df = wh.read("default.conv")
+    assert [f.name for f in df.schema.fields] == [
+        "conv_id", "turn_idx", "role", "ts"]
+    assert df.count() == 0
+    # duplicate create is rejected against the warehouse layout
+    with pytest.raises(DDLError, match="already exists"):
+        wh.create_table("create table conv (c1 string)")
+
+    # read_live applies the main index's TTL (latest-2 per conv)
+    rows = [("a", i, "user", None) for i in range(4)]
+    d = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, ts timestamp"
+    ).withColumn("ts", F.timestamp_millis(1_000_000 + F.col("turn_idx")))
+    wh.write(d, "default.conv", mode="append")
+    live = wh.read_live("default.conv", tdef)
+    assert sorted(r.turn_idx for r in live.collect()) == [2, 3]
