@@ -443,12 +443,87 @@ def parse_create_table(sql: str, existing=(),
     return tdef
 
 
-def ttl_filter(df, index: IndexDef, now_ms: int | None = None):
+def parse_create_index(sql: str, tdef: TableDef) -> IndexDef:
+    """CREATE INDEX name ON tbl (cols) OPTIONS (ts=..., ttl=...,
+    ttl_type=...) — validate against the table like an inline index
+    (ddl/test_create_index.yaml): key columns exist and are indexable,
+    ts optional ('-' in DESC when absent), TTL slot rules identical to
+    CREATE TABLE, and an index with the same key set + ts as an
+    existing one is rejected (#33). Appends to ``tdef.indexes`` and
+    returns the new IndexDef."""
+    s = " ".join(str(sql).split()).rstrip(";").strip()
+    m = re.match(r"(?is)^create\s+index\s+(\S+)\s+on\s+(\S+)\s*"
+                 r"\(([^)]*)\)\s*(?:options\s*\((.*)\)\s*)?$", s)
+    if not m:
+        raise DDLError(f"unparseable CREATE INDEX {s[:80]!r}")
+    _ident(m.group(1), "index")
+    keys = [c.strip().strip("`") for c in m.group(3).split(",")
+            if c.strip()]
+    if not keys:
+        raise DDLError("INDEX KEY empty")
+    body = ", ".join([f"key=({','.join(keys)})"]
+                     + ([m.group(4)] if m.group(4) else []))
+    idx = _parse_index(body, tdef)
+    for old in tdef.indexes:
+        if set(old.keys) == set(idx.keys) and old.ts == idx.ts:
+            raise DDLError("index with the same keys and ts exists")
+    tdef.indexes.append(idx)
+    return idx
+
+
+def _abs_minutes(abs_ms: int) -> int:
+    """ms -> minutes, rounding up with a 1-minute floor for nonzero
+    values (base::AbsTTLConvert; ddl/test_create_index#9: 1s -> 1min)."""
+    if abs_ms <= 0:
+        return 0
+    return max(1, -(-abs_ms // 60_000))
+
+
+def render_desc_idxs(tdef: TableDef) -> list:
+    """The DESC command's index table (ddl/test_create_no_index /
+    test_create_index goldens): one dict per index with keys, ts ('-'
+    when none), ttl ('Nmin' absolute, bare count latest,
+    'Nmin&&K' / 'Nmin||K' combined), ttlType (kAbsoluteTime /
+    kLatestTime / kAbsAndLat / kAbsOrLat)."""
+    out = []
+    for idx in tdef.indexes:
+        if idx.ttl_type == "latest":
+            ttl = idx.lat_ttl or 0
+            tname = "kLatestTime"
+        elif idx.ttl_type == "absandlat":
+            ttl = f"{_abs_minutes(idx.abs_ttl_ms or 0)}min" \
+                  f"&&{idx.lat_ttl or 0}"
+            tname = "kAbsAndLat"
+        elif idx.ttl_type == "absorlat":
+            ttl = f"{_abs_minutes(idx.abs_ttl_ms or 0)}min" \
+                  f"||{idx.lat_ttl or 0}"
+            tname = "kAbsOrLat"
+        else:
+            ttl = f"{_abs_minutes(idx.abs_ttl_ms or 0)}min"
+            tname = "kAbsoluteTime"
+        out.append({"keys": list(idx.keys), "ts": idx.ts or "-",
+                    "ttl": ttl, "ttlType": tname})
+    return out
+
+
+def default_index(tdef: TableDef) -> IndexDef:
+    """The index the system creates for a table declared with none:
+    first indexable column, no ts, absolute 0
+    (ddl/test_create_no_index.yaml#0; node_adapter.cc auto index)."""
+    for col in tdef.columns:
+        if col.type not in _NO_KEY_TYPES:
+            return IndexDef(keys=[col.name])
+    raise DDLError("can not found index col")
+
+
+def ttl_filter(df, index: IndexDef, now_ms: int | None = None,
+               tiebreak=()):
     """Apply one parsed index's TTL as the engine's read-time expiry
     (operators/ttl.py): absolute -> time_live, latest -> count_live,
     absorlat -> expire when old OR beyond count (keep rows passing
     both filters), absandlat -> expire only when old AND beyond count
-    (keep rows passing either)."""
+    (keep rows passing either). ``tiebreak``: extra descending order
+    columns breaking same-ts ties for the count-based kinds."""
     from openmldb_spark.operators.ttl import (
         count_live, time_and_count_live, time_live)
 
@@ -460,10 +535,11 @@ def ttl_filter(df, index: IndexDef, now_ms: int | None = None):
     if index.ttl_type == "latest":
         if not lat:
             return df
-        return count_live(df, index.keys, index.ts, lat)
+        return count_live(df, index.keys, index.ts, lat,
+                          tiebreak=tiebreak)
     combine = "and" if index.ttl_type == "absorlat" else "or"
     if not abs_ms and not lat:
         return df
     return time_and_count_live(df, index.keys, index.ts, abs_ms or 0,
                                lat or 0, now_ms=now_ms,
-                               combine=combine)
+                               tiebreak=tiebreak, combine=combine)

@@ -268,6 +268,17 @@ FILES = {
     "integration_test/ddl/test_ttl.yaml": 30,
     "integration_test/ddl/test_options.yaml": 27,
     "integration_test/ddl/test_create.yaml": 50,
+    # CREATE INDEX / DROP INDEX / DESC index-table surface
+    # (ddl.parse_create_index + render_desc_idxs + default_index):
+    # option validation mirrors the inline index rules, a duplicate
+    # keys+ts index is rejected, DESC renders ttl as Nmin / count /
+    # Nmin&&K / Nmin||K, and a TTL-bearing created index expires reads
+    # that route through it (WHERE-equality index selection)
+    "function/ddl/test_create_index.yaml": 30,
+    "function/ddl/test_create_no_index.yaml": 12,
+    "integration_test/ddl/test_create_index.yaml": 36,
+    "integration_test/ddl/test_create_no_index.yaml": 13,
+    "integration_test/ddl/test_delete_index.yaml": 6,
 }
 
 _TYPES = {
@@ -424,6 +435,9 @@ def _parse_insert_literal(tok: str):
         return None
     if t[0] in "'\"" and t[-1] == t[0]:
         return t[1:-1]
+    if _NUM_LIT.match(t):
+        # strip the dialect's L/f/d literal suffix (1590738990000L)
+        return __import__("re").sub(r"(?i)[lfd]$", "", t)
     return t          # numeric literal; _conv casts by column type
 
 
@@ -441,6 +455,60 @@ def _notnull_of(node) -> set:
         if m:
             out.add(m.group(1))
     return out
+
+
+def _idx_from_spec(spec):
+    """A yaml 5-part index spec -> ddl.IndexDef (``name:keys:ts[:ttl:
+    kind]``; ts 'null' = storage order, ttl forms 0 / 10 / 10m /
+    (10m,2))."""
+    import re as _re
+    from openmldb_spark.ddl import IndexDef
+    parts = str(spec).split(":")
+    keys = [k.strip() for k in parts[1].split("|")]
+    ts = None if len(parts) < 3 or parts[2] in ("", "null") \
+        else parts[2]
+    idx = IndexDef(keys=keys, ts=ts)
+    if len(parts) == 5 and parts[3].strip():
+        ttl, kind = parts[3].strip(), parts[4].strip()
+        idx.ttl_type = kind
+        m = _re.fullmatch(r"\(\s*(\d+)([smhd])\s*,\s*(\d+)\s*\)", ttl)
+        if m:
+            idx.abs_ttl_ms = int(m.group(1)) * _UNITS_MS[m.group(2)]
+            idx.lat_ttl = int(m.group(3))
+        elif kind == "latest":
+            idx.lat_ttl = int(ttl)
+        else:
+            m = _re.fullmatch(r"(\d+)([smhd]?)", ttl)
+            if m:
+                idx.abs_ttl_ms = int(m.group(1)) * _UNITS_MS.get(
+                    m.group(2) or "ms", 1)
+    return idx
+
+
+def _tdef_of(inp, name="t0"):
+    """Input node -> ddl.TableDef (columns + declared or default
+    indexes), the metadata DESC renders and CREATE INDEX validates
+    against."""
+    from openmldb_spark.ddl import (ColumnDef, TableDef, default_index,
+                                    parse_create_table)
+    if "create" in inp and not (inp.get("columns")
+                                or inp.get("schema")):
+        import re as _re
+        txt = _re.sub(r"\{(\d+)\}", lambda m: f"t{m.group(1)}",
+                      str(inp["create"]))
+        td = parse_create_table(txt)
+        if not td.indexes:
+            td.indexes.append(default_index(td))
+        return td
+    cols = [ColumnDef(c.rsplit(" ", 1)[0], c.rsplit(" ", 1)[1])
+            for c in _coldefs_of(inp)]
+    td = TableDef(name=name, columns=cols)
+    for sp in (inp.get("indexs") or ([inp["index"]]
+                                     if "index" in inp else [])):
+        td.indexes.append(_idx_from_spec(sp))
+    if not td.indexes:
+        td.indexes.append(default_index(td))
+    return td
 
 
 _NUM_LIT = __import__("re").compile(
@@ -813,7 +881,8 @@ def _run_case(spark, case, fname: str | None = None) -> str:
     if case.get("sqls") and any(
             __import__("re").search(
                 r"(?i)\b(outfile|load\s+data|insert\s+into|"
-                r"show\s+variables|set\s+@@|delete\s+from)", str(s))
+                r"show\s+variables|set\s+@@|delete\s+from|"
+                r"create\s+index|desc\s+\{)", str(s))
             for s in case["sqls"]):
         return _run_outfile_case(spark, case, fname)
     if not case.get("sql") or case.get("sqls"):
@@ -876,6 +945,17 @@ def _run_case(spark, case, fname: str | None = None) -> str:
         if "replicaNum" in want:
             assert tdef.replica_num == want["replicaNum"], \
                 f"replicaNum {tdef.replica_num} vs {want}"
+        return "pass"
+    m_desc = __import__("re").match(r"(?i)^\s*desc\s+\{(\d+)\}\s*;?\s*$",
+                                    str(case["sql"]))
+    if m_desc and "idxs" in (case.get("expect") or {}):
+        # DESC index-table goldens (ddl/test_create_no_index): the
+        # default index the system creates for an index-less table
+        from openmldb_spark.ddl import render_desc_idxs
+        inp = (case.get("inputs") or [{}])[int(m_desc.group(1))]
+        got = render_desc_idxs(_tdef_of(inp))
+        want = case["expect"]["idxs"]
+        assert got == want, f"desc idxs {got} vs {want}"
         return "pass"
     if case.get("parameters"):
         # parameterized query: bind each ? positionally with a literal
@@ -1208,6 +1288,10 @@ def _run_outfile_case(spark, case, fname: str | None = None) -> str:
         return f"skip: inputs ({e})"
     names = [inp.get("name") or f"t{i}" for i, inp in enumerate(inputs)]
     dbs = {str(inp.get("db")) for inp in inputs if inp.get("db")}
+    if case.get("db"):
+        # the case-default database also resolves qualified refs
+        # (integration ddl/test_delete_index#1-2)
+        dbs.add(str(case["db"]))
     ws = _tf.mkdtemp(prefix="omls_case_")
 
     # Two-store model (integration_test/out_in): a table has an ONLINE
@@ -1274,22 +1358,45 @@ def _run_outfile_case(spark, case, fname: str | None = None) -> str:
                 if j < len(specs) else st["raw"]
         return st["per_idx"][j]
 
+    def _want_cols(sql_text) -> set:
+        """The column set the query routes its scan by: the LAST
+        window's partition columns, else the WHERE clause's equality
+        columns."""
+        pks = _re.findall(r"(?is)partition\s+by\s+(.+?)\s+order\s",
+                          str(sql_text))
+        if pks:
+            return {_re.sub(r"^\s*(?:\{\d+\}|\w+)\.", "", c).strip()
+                    for c in pks[-1].split(",")}
+        mw = _re.search(r"(?is)\bwhere\s+(.+?)(?:\border\s+by\b"
+                        r"|\bwindow\b|\blimit\b|$)", str(sql_text))
+        if mw:
+            return {c for c in
+                    _re.findall(r"(\w+)\s*=", mw.group(1))}
+        return set()
+
     def eff(ti: int, sql_text: str | None = None):
+        want = _want_cols(sql_text) if sql_text else set()
+        if ti in created_ttl and want:
+            # an index added by CREATE INDEX carries TTL: a read that
+            # routes through it sees its expiry
+            # (ddl/test_create_index #21-32)
+            from openmldb_spark.ddl import ttl_filter
+            for idx in tdefs[ti].indexes:
+                if set(idx.keys) == want and (idx.abs_ttl_ms
+                                              or idx.lat_ttl):
+                    return ttl_filter(cur()[ti], idx,
+                                      now_ms=_CURRENT_TIME_MS + 1,
+                                      tiebreak=(_RID,))
         st = del_state.get(ti)
         if st is None:
             return cur()[ti]
         j = 0
-        if sql_text:
-            pks = _re.findall(r"(?is)partition\s+by\s+(.+?)\s+order\s",
-                              str(sql_text))
-            if pks:
-                want = {_re.sub(r"^\s*(?:\{\d+\}|\w+)\.", "", c).strip()
-                        for c in pks[-1].split(",")}
-                ks = idx_keys[ti] if ti < len(idx_keys) else []
-                for cand, k in enumerate(ks):
-                    if k == want:
-                        j = cand
-                        break
+        if want:
+            ks = idx_keys[ti] if ti < len(idx_keys) else []
+            for cand, k in enumerate(ks):
+                if k == want:
+                    j = cand
+                    break
         return _alive(ti, j)
 
     def eff_tables(sql_text: str | None = None):
@@ -1315,6 +1422,15 @@ def _run_outfile_case(spark, case, fname: str | None = None) -> str:
                 out.append({c.strip() for c in parts[1].split("|")})
         return out
     idx_keys = [_key_sets(inp) for inp in inputs]
+
+    # table metadata for CREATE INDEX / DESC statements
+    try:
+        tdefs = [_tdef_of(inp, f"t{i}") for i, inp in enumerate(inputs)]
+    except Exception:
+        tdefs = [None] * len(inputs)
+    created_ttl = set()     # tables with a TTL-bearing created index
+    created_names = {}      # ti -> {index name -> IndexDef}
+    desc_out = [None]       # last DESC rendering
 
     def _lenient_read(p, sch, opts):
         # the reference's batch loader (LoadDataPlan.scala = Spark csv)
@@ -1416,6 +1532,13 @@ def _run_outfile_case(spark, case, fname: str | None = None) -> str:
                 T.StructType([
                     T.StructField("Variable_name", T.StringType()),
                     T.StructField("Value", T.StringType())])))
+            return
+        m = _re.match(r"(?i)^desc\s+(?:(\w+)\.)?\{(\d+)\}$", s)
+        if m:
+            from openmldb_spark.ddl import render_desc_idxs
+            ti = int(m.group(2))
+            if tdefs[ti] is not None:
+                desc_out[0] = render_desc_idxs(tdefs[ti])
             return
         if not s or _re.match(r"(?i)^(set|show|desc)\b", s):
             return
@@ -1582,6 +1705,41 @@ def _run_outfile_case(spark, case, fname: str | None = None) -> str:
                                  + [T.StructField(_RID, T.LongType())]))
             tables[ti], offline[ti], linked[ti] = empty, empty, False
             return
+        m = _re.match(r"(?is)^create\s+index\s+\w+\s+on\s+"
+                      r"(?:(\w+)\.)?\{(\d+)\}\s*\(.*$", s)
+        if m:
+            from openmldb_spark.ddl import parse_create_index
+            if m.group(1) and m.group(1) not in dbs:
+                raise ValueError(f"unknown database {m.group(1)}")
+            ti = int(m.group(2))
+            if tdefs[ti] is None:
+                raise ValueError("no table metadata for CREATE INDEX")
+            stmt_n = _re.sub(r"(?:\w+\.)?\{(\d+)\}",
+                             lambda mm: f"t{mm.group(1)}", s)
+            idx = parse_create_index(stmt_n, tdefs[ti])
+            if ti < len(idx_keys):
+                idx_keys[ti].append(set(idx.keys))
+            if idx.abs_ttl_ms or idx.lat_ttl:
+                created_ttl.add(ti)
+            nm = _re.match(r"(?i)^create\s+index\s+(\w+)", s).group(1)
+            created_names.setdefault(ti, {})[nm] = idx
+            return
+        m = _re.match(r"(?i)^drop\s+index\s+(?:(\w+)\.)?\{(\d+)\}"
+                      r"\.(\w+)$", s)
+        if m:
+            # DROP INDEX db.tbl.name removes a created index by name
+            # (integration ddl/test_delete_index); a bare name with no
+            # table falls through to 'unsupported statement' (#4)
+            if m.group(1) and m.group(1) not in dbs:
+                raise ValueError(f"unknown database {m.group(1)}")
+            ti = int(m.group(2))
+            idx = created_names.get(ti, {}).pop(m.group(3), None)
+            if idx is None:
+                raise ValueError(f"index {m.group(3)} not found")
+            tdefs[ti].indexes.remove(idx)
+            if ti < len(idx_keys) and set(idx.keys) in idx_keys[ti]:
+                idx_keys[ti].remove(set(idx.keys))
+            return
         m = _re.match(r"(?i)^delete\s+from\s+(?:(\w+)\.)?\{(\d+)\}\s+"
                       r"where\s+(.+)$", s)
         if m:
@@ -1723,6 +1881,11 @@ def _run_outfile_case(spark, case, fname: str | None = None) -> str:
             f"outfile-case statement failed: {type(e).__name__} "
             f"{str(e)[:200]}")
 
+    if "idxs" in expect:
+        assert desc_out[0] is not None, "no DESC output to compare"
+        assert desc_out[0] == expect["idxs"], \
+            f"desc idxs {desc_out[0]} vs {expect['idxs']}"
+        return "pass"
     if "cat" in expect:
         cat = expect["cat"]
         with open(_path(str(cat["path"]))) as f:
