@@ -369,6 +369,12 @@ def _parse_options(body: str, tdef: TableDef, cluster: ClusterSpec,
     for k in opts:
         if k not in known:
             raise DDLError(f"unknown option {k}")
+    if "storage_mode" in opts:
+        sm = opts["storage_mode"].strip().strip("'\"").lower()
+        if sm not in ("memory", "ssd", "hdd"):
+            # disk_table.yaml#14: storage_mode outside the whitelist
+            raise DDLError(f"storage_mode {sm!r} not supported")
+        tdef.options["storage_mode"] = sm
     tdef.partition_num, tdef.replica_num = pnum, rnum
 
 

@@ -279,6 +279,11 @@ FILES = {
     "integration_test/ddl/test_create_index.yaml": 36,
     "integration_test/ddl/test_create_no_index.yaml": 13,
     "integration_test/ddl/test_delete_index.yaml": 6,
+    # disk-table storage semantics: same-(index key, ts) re-insert
+    # REPLACES (RocksDB put), WHERE-equality reads route through the
+    # index with those keys (and its TTL), storage_mode whitelist
+    "function/disk_table/disk_table.yaml": 19,
+    "integration_test/disk_table/disk_table.yaml": 19,
 }
 
 _TYPES = {
@@ -662,7 +667,7 @@ def _subst_current_time(rows):
     return out
 
 
-def _apply_index_ttl(df, inp):
+def _apply_index_ttl(df, inp, prefer_keys=None):
     """Index specs carry TTL (``name:key:ts:ttl:latest|absolute``,
     cases/function/data_expiration/): storage-level expiry in the
     reference, a logical read-time filter here (operators/ttl.py)."""
@@ -674,6 +679,17 @@ def _apply_index_ttl(df, inp):
     # the latest-1 secondary index would have dropped)
     specs = (inp.get("indexs") or ([inp["index"]] if "index" in inp
                                    else []))
+    if prefer_keys and len(specs) > 1:
+        # a query routed by equality on a non-main index's keys reads
+        # through THAT index and its TTL (disk_table.yaml#18: WHERE
+        # c1=... picks the absolute-TTL index over the main latest one)
+        for sp in specs:
+            parts = str(sp).split(":")
+            if len(parts) >= 2 and \
+                    {k.strip() for k in parts[1].split("|")} \
+                    == set(prefer_keys):
+                specs = [sp]
+                break
     if not specs and "create" in inp:
         # inputs declared via CREATE TABLE DDL carry their TTL in the
         # index(...) clause (ddl/test_ttl.yaml #8/#10/#20): parse it
@@ -752,7 +768,7 @@ def _apply_one_ttl(df, spec):
 
 
 def _build_df(spark, inp, with_rid, keep_null_strings=False,
-              apply_ttl=True):
+              apply_ttl=True, prefer_keys=None):
     # keep_null_strings: the out_in cases distinguish the LITERAL
     # string 'null' from NULL in string columns (test_out_in_offline
     # #17/#18 write both through null_value='' and expect different
@@ -780,6 +796,24 @@ def _build_df(spark, inp, with_rid, keep_null_strings=False,
         return _conv(v, dt)
     rows = [tuple(conv(v, f.dataType) for v, f in zip(r, schema.fields))
             for r in raw]
+    if str(inp.get("storage", "")).lower() in ("ssd", "hdd") and rows:
+        # disk tables store one row per (index key, ts): a re-insert of
+        # the same key+ts REPLACES instead of appending
+        # (disk_table.yaml #12/#13; RocksDB put semantics)
+        specs = (inp.get("indexs") or ([inp["index"]] if "index" in inp
+                                       else []))
+        if specs:
+            parts = str(specs[0]).split(":")
+            fn = [f.name for f in schema.fields]
+            kcols = [fn.index(k) for k in parts[1].split("|")
+                     if k in fn]
+            if len(parts) >= 3 and parts[2] in fn:
+                kcols.append(fn.index(parts[2]))
+            seen = {}
+            for r in rows:
+                seen[tuple(r[i] for i in kcols)] = r   # last write wins
+            if len(seen) < len(rows):
+                rows = list(seen.values())
     df = spark.createDataFrame(rows, schema)
     if with_rid:
         import pandas as pd
@@ -792,7 +826,7 @@ def _build_df(spark, inp, with_rid, keep_null_strings=False,
         df = spark.createDataFrame(
             pdf, T.StructType(list(schema.fields)
                               + [T.StructField(_RID, T.LongType())]))
-    return _apply_index_ttl(df, inp) if apply_ttl else df
+    return _apply_index_ttl(df, inp, prefer_keys) if apply_ttl else df
 
 
 def _values_match(got, exp, dtype_str) -> bool:
@@ -1061,8 +1095,14 @@ def _run_case(spark, case, fname: str | None = None) -> str:
             sql2 = _re.sub(rf"\b{_re.escape(case_db)}\.(\w+\s*\.)",
                            r"\1", sql2)
         case = {**case, "sql": sql2}
+    import re as _re2
+    mw = _re2.search(r"(?is)\bwhere\s+(.+?)(?:\border\s+by\b|\bwindow\b"
+                     r"|\blimit\b|$)", str(case.get("sql") or ""))
+    prefer = set(_re2.findall(r"(\w+)\s*=", mw.group(1))) if mw \
+        else None
     try:
-        tables = [_build_df(spark, inp, with_rid=True) for inp in inputs]
+        tables = [_build_df(spark, inp, with_rid=True,
+                            prefer_keys=prefer) for inp in inputs]
         names = [inp.get("name") for inp in inputs]
     except Exception as e:                      # unsupported input shape
         return f"skip: inputs ({e})"
