@@ -284,6 +284,11 @@ FILES = {
     # index with those keys (and its TTL), storage_mode whitelist
     "function/disk_table/disk_table.yaml": 19,
     "integration_test/disk_table/disk_table.yaml": 19,
+    # the reference's JMH benchmark queries with recorded goldens
+    # (batch_request mode incl. common_column_indices and an empty
+    # primary the request rows populate); the request_benchmark /
+    # udaf_benchmark files are batch-unsupport-tagged throughout
+    "benchmark/batch_request_benchmark.yaml": 4,
 }
 
 _TYPES = {
@@ -613,7 +618,9 @@ def _rows_of(inp):
                 out.append([vals.get(n) for n in names])
             return out
     if "rows" in inp:
-        return inp["rows"]
+        # an explicit `rows: null` declares an empty table the
+        # batch_request rows populate (benchmark #3)
+        return inp["rows"] if inp["rows"] is not None else []
     if inp.get("insert"):
         # function/dml: data loads through one INSERT statement with
         # an optional column list; unlisted columns are NULL
