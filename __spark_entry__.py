@@ -315,6 +315,30 @@ def q_ttl_count_live(spark, sf_dir):
     return out.select("event_id", "user_id", _ms().alias("ts_ms"))
 
 
+def q_ttl_absorlat(spark, sf_dir):
+    """TTL kAbsOrLat (ddl dialect ttl_type=absorlat): a row expires
+    when it is older than the absolute horizon OR beyond the newest-k
+    — keep rows passing BOTH filters (operators/ttl.py,
+    ddl.ttl_filter; reference storage/mem_table.cc TTL types)."""
+    from openmldb_spark import time_and_count_live
+    ev = _t(spark, sf_dir, "events")
+    out = time_and_count_live(ev, "user_id", "ts",
+                              7 * 86_400_000, 5,
+                              tiebreak=("event_id",), combine="and")
+    return out.select("event_id", "user_id", _ms().alias("ts_ms"))
+
+
+def q_ttl_absandlat(spark, sf_dir):
+    """TTL kAbsAndLat (ttl_type=absandlat): a row expires only when
+    old AND beyond the newest-k — keep rows passing EITHER filter."""
+    from openmldb_spark import time_and_count_live
+    ev = _t(spark, sf_dir, "events")
+    out = time_and_count_live(ev, "user_id", "ts",
+                              7 * 86_400_000, 5,
+                              tiebreak=("event_id",), combine="or")
+    return out.select("event_id", "user_id", _ms().alias("ts_ms"))
+
+
 def q_ordered_limit(spark, sf_dir):
     """LIMIT with a pinned total order (reference LimitPlan + SortBy)."""
     ev = _t(spark, sf_dir, "events")
@@ -654,6 +678,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_positional": q_window_positional,
         "const_project": q_const_project,
         "ttl_count_live": q_ttl_count_live,
+        "ttl_absorlat": q_ttl_absorlat,
+        "ttl_absandlat": q_ttl_absandlat,
         "ordered_limit": q_ordered_limit,
         "multi_window": q_multi_window,
         "long_window": q_long_window,
@@ -1125,6 +1151,26 @@ SELECT event_id, user_id, epoch_ms(ts) AS ts_ms FROM (
          row_number() OVER (PARTITION BY user_id
                             ORDER BY epoch_ms(ts) DESC, event_id DESC) AS rn
   FROM events) WHERE rn <= 10
+""",
+        "ttl_absorlat": """
+SELECT event_id, user_id, ts_ms FROM (
+  SELECT event_id, user_id, epoch_ms(ts) AS ts_ms,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY epoch_ms(ts) DESC,
+                                     event_id DESC) AS rn,
+         max(epoch_ms(ts)) OVER () AS mx
+  FROM events)
+WHERE rn <= 5 AND ts_ms >= mx - 604800000
+""",
+        "ttl_absandlat": """
+SELECT event_id, user_id, ts_ms FROM (
+  SELECT event_id, user_id, epoch_ms(ts) AS ts_ms,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY epoch_ms(ts) DESC,
+                                     event_id DESC) AS rn,
+         max(epoch_ms(ts)) OVER () AS mx
+  FROM events)
+WHERE rn <= 5 OR ts_ms >= mx - 604800000
 """,
         "ordered_limit": """
 SELECT event_id, user_id, ROUND(value + 0.000001, 4) AS value
