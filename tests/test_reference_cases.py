@@ -199,6 +199,10 @@ FILES = {
     "integration_test/window/test_current_row.yaml": 34,
     "integration_test/window/test_window.yaml": 46,
     "integration_test/window/test_window_row.yaml": 28,
+    # near-mirror of the driven function/cluster file whose one real
+    # diff is a changed ts in case #4's input (plus an upstream TODO
+    # tag on that case, which skips) — 5/6 cases pass
+    "integration_test/cluster/test_window_row.yaml": 5,
     "integration_test/window/test_window_row_range.yaml": 48,
     "integration_test/window/error_window.yaml": 15,
     "integration_test/window/window_attributes.yaml": 10,
