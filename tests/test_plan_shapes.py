@@ -120,3 +120,42 @@ def test_stream_peer_range_window_takes_kernel(spark):
     p = plan_of(out)
     assert "MapInPandas" in p, p
     assert "FlatMapGroupsInPandas" not in p, p
+
+
+def test_minhash_band_join_is_equi(spark):
+    # The LSH candidate join must hash-partition on (band, bh) — an
+    # equi join at every scale — and never degrade to a nested-loop /
+    # cartesian shape; the shuffle carries only (id, band, bh).
+    from openmldb_spark.pipeline.dedup import minhash_lsh_pairs
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    out = minhash_lsh_pairs(docs, num_hashes=16, bands=4, shingle=5)
+    p = plan_of(out)
+    assert "BroadcastNestedLoopJoin" not in p, p
+    assert "CartesianProduct" not in p, p
+    assert ("SortMergeJoin" in p or "HashJoin" in p), p
+
+
+def test_backfill_merge_joins_stay_equi(spark):
+    # long_window_agg_backfill merges full-bucket partials + two raw
+    # edge buckets per probe row. All three branches must join on the
+    # partition keys (equi) — a range-only join would nested-loop and
+    # explode at scale.
+    from openmldb_spark.operators.long_window import (
+        long_window_agg_backfill, long_window_preagg)
+    from openmldb_spark.operators.window_agg import Agg
+
+    ev = spark.read.parquet(f"{SF}/events.parquet") \
+        .select("user_id", "ts", F.col("value").alias("v"))
+    W, B = 3_600_000, 600_000
+    partials = long_window_preagg(ev, ["user_id"], "ts", B, ["v"])
+    probe = ev.limit(50)
+    out = long_window_agg_backfill(
+        probe, partials, ev, ["user_id"], "ts", W, B,
+        [Agg("s", "sum", "v"), Agg("c", "count", "v")])
+    p = plan_of(out)
+    assert "BroadcastNestedLoopJoin" not in p, p
+    assert "CartesianProduct" not in p, p
+    # partial aggregation (map-side combine) present in the preagg scan
+    pre = plan_of(partials)
+    assert pre.count("HashAggregate") >= 2, pre
