@@ -611,6 +611,21 @@ def q_lsh_topk(spark, sf_dir):
                       _r4("cosine").alias("cosine"))
 
 
+def q_ivf_topk(spark, sf_dir):
+    # full probe (nprobe = n_cells): every cell is scanned, so the IVF
+    # machinery (deterministic k-means, kernel cell assignment, probe
+    # explode, broadcast cell join, global rank) must reproduce the
+    # EXACT top-k — pinned here against the DuckDB brute-force oracle.
+    # Small-nprobe recall is pinned in tests/test_pipeline.py.
+    from openmldb_spark.pipeline.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter((F.col("vec_id") >= 10) & (F.col("vec_id") < 20))
+    out = ivf_topk(emb, queries, k=7, n_cells=8, nprobe=8)
+    return out.select("query_id", "neighbor_id", "rank",
+                      _r4("cosine").alias("cosine"))
+
+
 def q_near_dup_pairs(spark, sf_dir):
     """Embedding-cosine near-dup via hyperplane-LSH buckets (dedup.py).
     Threshold tuned to the synthetic corpus (near-random vectors, max
@@ -700,6 +715,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_pairs": q_minhash_pairs,
         "simhash": q_simhash,
         "lsh_topk": q_lsh_topk,
+        "ivf_topk": q_ivf_topk,
         "near_dup_pairs": q_near_dup_pairs,
         "media_features": q_media_features,
     }
@@ -1388,6 +1404,27 @@ FROM (SELECT query_id, neighbor_id, cosine,
                                 ORDER BY cosine DESC, neighbor_id) AS rank
       FROM scored)
 WHERE rank <= 5
+""",
+        "ivf_topk": """
+WITH q AS (SELECT vec_id, embedding FROM embeddings
+           WHERE vec_id >= 10 AND vec_id < 20),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         list_sum(list_transform(generate_series(1, len(q.embedding)),
+           i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
+         / (sqrt(list_sum(list_transform(q.embedding,
+              v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
+            * sqrt(list_sum(list_transform(c.embedding,
+              v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))) AS cosine
+  FROM embeddings c, q WHERE c.vec_id <> q.vec_id
+)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank,
+       ROUND(cosine + 0.000001, 4) AS cosine
+FROM (SELECT query_id, neighbor_id, cosine,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM scored)
+WHERE rank <= 7
 """,
         "minhash_pairs": _minhash_oracle_sql(),
         "simhash": _simhash_oracle_sql(),

@@ -13,5 +13,5 @@ from openmldb_spark.pipeline.dedup import (  # noqa: F401
     ngram_jaccard_pairs, embedding_near_dup_pairs,
 )
 from openmldb_spark.pipeline.similarity import (  # noqa: F401
-    brute_force_topk, lsh_bucketed_topk,
+    brute_force_topk, ivf_topk, lsh_bucketed_topk,
 )

@@ -11,6 +11,15 @@
   query's bucket plus its 1-bit neighbor buckets (multi-probe), then
   exact-scored. Turns the O(Q×N) scan into O(Q×N/2^planes × probes) —
   the scale path for large Q.
+- ``ivf_topk`` — approximate (IVF flat): a deterministic spherical
+  k-means over a bounded hash-sample trains ``n_cells`` coarse
+  centroids on the driver; every corpus vector is kernel-assigned to
+  its nearest cell (one Arrow pass, centroids broadcast), each query
+  probes its ``nprobe`` nearest cells, and candidates are exact-scored.
+  ``nprobe = n_cells`` degenerates to the exact scan — the equivalence
+  the driver oracle pins — while ``nprobe ≪ n_cells`` is the scale
+  path: O(Q×N×nprobe/n_cells) scoring, data-adaptive cells (unlike
+  LSH's data-oblivious planes, IVF keeps recall on clustered corpora).
 
 Vectors are computed in float64 so results are stable across platforms.
 """
@@ -205,6 +214,136 @@ def lsh_bucketed_topk(corpus: DataFrame, queries: DataFrame, k: int,
     q = q.select("query_id", "__qvec",
                  F.explode(F.array(*probes)).alias("bucket"))
     joined = c.join(F.broadcast(q), "bucket")
+    if exclude_self:
+        joined = joined.filter(F.col("neighbor_id") != F.col("query_id"))
+    cos = cosine_pairs_udf()
+    scored = joined.select(
+        "query_id", "neighbor_id",
+        cos(F.col("__qvec"), F.col("__cvec")).alias("cosine"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(),
+                                               F.col("neighbor_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "rank", "cosine"))
+
+
+def kmeans_cells(sample: np.ndarray, n_cells: int, seed: int = 42,
+                 n_iter: int = 10) -> np.ndarray:
+    """Deterministic spherical k-means (driver-side) over a bounded
+    sample — the IVF coarse quantizer. No RNG state: initial centroids
+    are sample rows at splitmix64-derived indices, Lloyd runs a FIXED
+    ``n_iter`` sweeps, empty cells re-seed with the point worst-served
+    by the current centroids (deterministic argmin). All float64, so
+    the trained cells are bit-stable across runs and platforms.
+
+    Sample rows must arrive in a deterministic order (ivf_topk sorts by
+    id before calling) — k-means is init-order sensitive.
+    """
+    n = len(sample)
+    if n == 0:
+        raise ValueError("empty k-means sample")
+    n_cells = min(n_cells, n)
+    s = sample.astype(np.float64)
+    s = s / np.maximum(np.linalg.norm(s, axis=1, keepdims=True), 1e-12)
+    idx, used = [], set()
+    j = 0
+    while len(idx) < n_cells:
+        h = _splitmix64((seed * 0x9E3779B97F4A7C15 + j * 1_000_003)
+                        & _M64) % n
+        if h not in used:
+            used.add(h)
+            idx.append(h)
+        j += 1
+    cent = s[np.array(idx)]
+    for _ in range(n_iter):
+        sims = s @ cent.T                      # (n, k) cosine
+        assign = sims.argmax(axis=1)
+        new = np.zeros_like(cent)
+        np.add.at(new, assign, s)
+        counts = np.bincount(assign, minlength=n_cells)
+        empty = np.nonzero(counts == 0)[0]
+        if len(empty):
+            # re-seed each empty cell with the currently worst-served
+            # points (lowest best-sim), one per cell, deterministically
+            worst = np.argsort(sims.max(axis=1))[: len(empty)]
+            new[empty] = s[worst]
+            counts[empty] = 1
+        cent = new / np.maximum(
+            np.linalg.norm(new, axis=1, keepdims=True), 1e-12)
+    return cent
+
+
+def ivf_assign_udf(centroids: np.ndarray, nprobe: int):
+    """Arrow-vectorized nearest-cell assignment: one matmul per batch
+    against the broadcast (closure-captured) centroid matrix, returning
+    the ``nprobe`` nearest cell ids ordered best-first."""
+    from pyspark.sql.functions import pandas_udf
+
+    cm = centroids.astype(np.float64)
+    npb = min(nprobe, len(cm))
+
+    @pandas_udf("array<int>")
+    def cells(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype="object")
+        v = np.stack([np.asarray(x, dtype=np.float64) for x in vecs])
+        v = v / np.maximum(np.linalg.norm(v, axis=1, keepdims=True),
+                           1e-12)
+        sims = v @ cm.T
+        # top-nprobe cells, best first; ties by cell id ascending
+        order = np.lexsort((np.broadcast_to(np.arange(sims.shape[1]),
+                                            sims.shape), -sims), axis=1)
+        top = order[:, :npb].astype(np.int32)
+        return pd.Series(list(top))
+
+    return cells
+
+
+def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int,
+             vec_col: str = "embedding", id_col: str = "vec_id",
+             n_cells: int = 16, nprobe: int = 2, seed: int = 42,
+             sample_mod: int = 1, sample_cap: int = 200_000,
+             n_iter: int = 10, exclude_self: bool = True) -> DataFrame:
+    """Approximate cosine top-k via IVF (inverted-file, flat scoring).
+
+    Scale shape (100 TB): centroid training reads a BOUNDED hash-sample
+    (size corpus/``sample_mod``, hard-capped at ``sample_cap`` — raise
+    ``sample_mod`` for big corpora; the cap raises loudly rather than
+    OOM the driver); assignment is one Arrow pass with the (n_cells ×
+    dim) centroid matrix closure-shipped; the candidate join is an
+    equi-join on the cell id with the exploded query probes broadcast —
+    the corpus itself NEVER shuffles, and only |Q| × nprobe × cell-size
+    candidate rows are scored and ranked. Size ``n_cells ≈ N / 10^5``
+    so cells stay scan-sized; recall tuning is ``nprobe``.
+
+    ``nprobe >= n_cells`` probes every cell and is EXACTLY the brute
+    force result (each corpus row lives in exactly one cell) — pinned
+    against the DuckDB exact-top-k oracle as the ``ivf_topk`` driver
+    query; small-``nprobe`` recall is pinned in tests/test_pipeline.py.
+    """
+    samp = corpus.select(F.col(id_col), F.col(vec_col))
+    if sample_mod > 1:
+        samp = samp.filter(
+            F.pmod(F.xxhash64(F.col(id_col).cast("string")),
+                   F.lit(sample_mod)) == 0)
+    rows = samp.limit(sample_cap + 1).collect()
+    if len(rows) > sample_cap:
+        raise ValueError(
+            f"k-means sample exceeds sample_cap={sample_cap}; raise "
+            f"sample_mod so the driver-side sample stays bounded")
+    rows.sort(key=lambda r: r[0])          # deterministic init order
+    sample = np.stack([np.asarray(r[1], dtype=np.float64) for r in rows])
+    cent = kmeans_cells(sample, n_cells, seed, n_iter)
+
+    one = ivf_assign_udf(cent, 1)
+    probe = ivf_assign_udf(cent, nprobe)
+    c = corpus.select(F.col(id_col).alias("neighbor_id"),
+                      F.col(vec_col).alias("__cvec"),
+                      F.element_at(one(F.col(vec_col)), 1).alias("cell"))
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).alias("__qvec"),
+                       F.explode(probe(F.col(vec_col))).alias("cell"))
+    joined = c.join(F.broadcast(q), "cell")
     if exclude_self:
         joined = joined.filter(F.col("neighbor_id") != F.col("query_id"))
     cos = cosine_pairs_udf()

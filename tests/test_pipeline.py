@@ -362,3 +362,47 @@ def test_window_split_family(spark):
     assert sorted(out.iloc[0]["keys"]) == ["k1", "k2", "k3"]
     out = A.window_split_by_value_agg(df, ["k"], "kv", ",", ":").toPandas()
     assert sorted(out.iloc[0]["values"]) == ["1", "2", "3"]
+
+
+def test_ivf_full_probe_equals_brute_force(emb_df):
+    # nprobe = n_cells probes every cell; since each corpus vector lives
+    # in exactly one cell, the candidate set is the whole corpus and the
+    # result must be float-identical to the exact scan — the same
+    # equivalence the ivf_topk driver query pins against DuckDB.
+    from openmldb_spark.pipeline.similarity import (
+        brute_force_topk, ivf_topk)
+
+    df, _ = emb_df
+    queries = df.filter(F.col("vec_id") < 5)
+    exact = brute_force_topk(df, queries, k=4).toPandas() \
+        .sort_values(["query_id", "rank"]).reset_index(drop=True)
+    full = ivf_topk(df, queries, k=4, n_cells=6, nprobe=6).toPandas() \
+        .sort_values(["query_id", "rank"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(exact, full)
+
+
+def test_ivf_small_probe_recall_and_determinism(emb_df):
+    from openmldb_spark.pipeline.similarity import (
+        brute_force_topk, ivf_topk)
+
+    df, _ = emb_df
+    queries = df.filter(F.col("vec_id") < 5)
+    exact = brute_force_topk(df, queries, k=3).toPandas()
+    ex = set(map(tuple, exact[["query_id", "neighbor_id"]].values))
+    a = ivf_topk(df, queries, k=3, n_cells=6, nprobe=3).toPandas()
+    b = ivf_topk(df.repartition(7), queries, k=3,
+                 n_cells=6, nprobe=3).toPandas()
+    sa = set(map(tuple, a[["query_id", "neighbor_id"]].values))
+    sb = set(map(tuple, b[["query_id", "neighbor_id"]].values))
+    assert sa == sb                     # deterministic incl. partitioning
+    # half the cells probed: recall well above the 1/2 random baseline
+    # on 40 gaussian vectors (measured 0.73-0.87 across seeds)
+    assert len(ex & sa) / len(ex) >= 0.5
+
+
+def test_ivf_sample_cap_raises(emb_df):
+    from openmldb_spark.pipeline.similarity import ivf_topk
+
+    df, _ = emb_df
+    with pytest.raises(ValueError, match="sample_cap"):
+        ivf_topk(df, df.limit(2), k=2, n_cells=4, sample_cap=10)

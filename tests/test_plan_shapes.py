@@ -159,3 +159,22 @@ def test_backfill_merge_joins_stay_equi(spark):
     # partial aggregation (map-side combine) present in the preagg scan
     pre = plan_of(partials)
     assert pre.count("HashAggregate") >= 2, pre
+
+
+def test_ivf_probe_join_broadcasts_queries(spark):
+    # IVF candidate join: the exploded query probes (small side) must
+    # broadcast; the corpus streams into a BroadcastHashJoin without a
+    # shuffle of its own — the only Exchange is the final per-query
+    # rank over |Q| x nprobe x cell-size candidate rows.
+    from openmldb_spark.pipeline.similarity import ivf_topk
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    out = ivf_topk(emb, emb.filter(F.col("vec_id") < 5), k=3,
+                   n_cells=8, nprobe=2)
+    p = plan_of(out)
+    assert "BroadcastHashJoin" in p, p
+    assert "CartesianProduct" not in p and \
+        "BroadcastNestedLoopJoin" not in p, p
+    # exactly one shuffle (the final rank); the other Exchange mentions
+    # are the broadcast (tree + detail lines count one node twice)
+    assert p.count("+- Exchange ") <= 1, p
