@@ -22,9 +22,10 @@ from openmldb_spark import (
 )
 from openmldb_spark.functions import aggregates as A
 from openmldb_spark.pipeline import (
-    brute_force_topk, exact_dedup, lsh_bucketed_topk, minhash_lsh_pairs,
-    simhash,
+    brute_force_topk, cap_per_key, exact_dedup, lsh_bucketed_topk,
+    minhash_lsh_pairs, simhash, split_column,
 )
+from openmldb_spark.pipeline.sampling import splitmix_sql
 from openmldb_spark.pipeline.text import (
     char_class_counts, token_count,
 )
@@ -611,6 +612,24 @@ def q_lsh_topk(spark, sf_dir):
                       _r4("cosine").alias("cosine"))
 
 
+def q_dataset_split(spark, sf_dir):
+    # deterministic id-stable train/val/test assignment: one Arrow
+    # splitmix64 pass, no shuffle, no RNG state — the oracle re-derives
+    # the exact hash in DuckDB HUGEINT arithmetic (splitmix_sql)
+    docs = _t(spark, sf_dir, "documents")
+    out = split_column(docs, "doc_id",
+                       {"train": 0.8, "val": 0.1, "test": 0.1})
+    return out.select("doc_id", "split")
+
+
+def q_cap_per_key(spark, sf_dir):
+    # hot-key mitigation: at most 5 events per user, chosen by the
+    # deterministic hash order of the event id (uniform, id-stable)
+    ev = _t(spark, sf_dir, "events")
+    out = cap_per_key(ev, ["user_id"], 5, id_col="event_id")
+    return out.select("user_id", "event_id")
+
+
 def q_ivf_topk(spark, sf_dir):
     # full probe (nprobe = n_cells): every cell is scanned, so the IVF
     # machinery (deterministic k-means, kernel cell assignment, probe
@@ -716,6 +735,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "lsh_topk": q_lsh_topk,
         "ivf_topk": q_ivf_topk,
+        "dataset_split": q_dataset_split,
+        "cap_per_key": q_cap_per_key,
         "near_dup_pairs": q_near_dup_pairs,
         "media_features": q_media_features,
     }
@@ -1404,6 +1425,21 @@ FROM (SELECT query_id, neighbor_id, cosine,
                                 ORDER BY cosine DESC, neighbor_id) AS rank
       FROM scored)
 WHERE rank <= 5
+""",
+        "dataset_split": f"""
+SELECT doc_id,
+       CASE WHEN {splitmix_sql('doc_id')} < 800000 THEN 'train'
+            WHEN {splitmix_sql('doc_id')} < 900000 THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+""",
+        "cap_per_key": f"""
+SELECT user_id, event_id
+FROM (SELECT user_id, event_id,
+             row_number() OVER (PARTITION BY user_id
+                 ORDER BY {splitmix_sql('event_id')}, event_id) AS rn
+      FROM events)
+WHERE rn <= 5
 """,
         "ivf_topk": """
 WITH q AS (SELECT vec_id, embedding FROM embeddings

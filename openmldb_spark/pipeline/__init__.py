@@ -15,3 +15,6 @@ from openmldb_spark.pipeline.dedup import (  # noqa: F401
 from openmldb_spark.pipeline.similarity import (  # noqa: F401
     brute_force_topk, ivf_topk, lsh_bucketed_topk,
 )
+from openmldb_spark.pipeline.sampling import (  # noqa: F401
+    cap_per_key, downsample, split_column,
+)

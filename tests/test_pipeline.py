@@ -406,3 +406,63 @@ def test_ivf_sample_cap_raises(emb_df):
     df, _ = emb_df
     with pytest.raises(ValueError, match="sample_cap"):
         ivf_topk(df, df.limit(2), k=2, n_cells=4, sample_cap=10)
+
+
+# ---------------------------------------------------------------------------
+# deterministic sampling / splits
+
+
+def test_split_column_proportions_and_stability(spark):
+    from openmldb_spark.pipeline.sampling import split_column
+
+    df = spark.range(0, 4000).withColumnRenamed("id", "doc_id")
+    out = split_column(df, "doc_id",
+                       {"train": 0.8, "val": 0.1, "test": 0.1})
+    counts = {r["split"]: r["count"]
+              for r in out.groupBy("split").count().collect()}
+    assert abs(counts["train"] / 4000 - 0.8) < 0.03
+    assert abs(counts["val"] / 4000 - 0.1) < 0.02
+    assert abs(counts["test"] / 4000 - 0.1) < 0.02
+    # id-stable: identical assignment regardless of partitioning
+    a = dict(out.select("doc_id", "split").collect())
+    b = dict(split_column(df.repartition(13), "doc_id",
+                          {"train": 0.8, "val": 0.1, "test": 0.1})
+             .select("doc_id", "split").collect())
+    assert a == b
+
+
+def test_downsample_nested_and_stable(spark):
+    from openmldb_spark.pipeline.sampling import downsample
+
+    df = spark.range(0, 4000).withColumnRenamed("id", "doc_id")
+    s25 = {r[0] for r in downsample(df, "doc_id", 0.25).collect()}
+    s50 = {r[0] for r in downsample(df, "doc_id", 0.5).collect()}
+    assert s25 <= s50                 # nested: one threshold, one hash
+    assert abs(len(s50) / 4000 - 0.5) < 0.03
+    # a row added later never reshuffles earlier membership
+    s50b = {r[0] for r in
+            downsample(spark.range(0, 5000)
+                       .withColumnRenamed("id", "doc_id"),
+                       "doc_id", 0.5).collect()}
+    assert s50 == {x for x in s50b if x < 4000}
+
+
+def test_cap_per_key(spark):
+    from openmldb_spark.pipeline.sampling import cap_per_key
+
+    rows = [(f"k{i % 7}", i, 1_000_000 + i) for i in range(500)]
+    df = spark.createDataFrame(rows, "k: string, rid: long, ts: long")
+    out = cap_per_key(df, ["k"], 10, id_col="rid")
+    per = out.groupBy("k").count().collect()
+    assert all(r["count"] == 10 for r in per)
+    # deterministic across partitioning
+    a = {tuple(r) for r in out.select("k", "rid").collect()}
+    b = {tuple(r) for r in cap_per_key(df.repartition(11), ["k"], 10,
+                                       id_col="rid")
+         .select("k", "rid").collect()}
+    assert a == b
+    # order_col keeps the FIRST n by that order
+    newest = cap_per_key(df, ["k"], 3, id_col="rid", order_col="ts")
+    got = sorted(r["rid"] for r in
+                 newest.filter(F.col("k") == "k0").collect())
+    assert got == [0, 7, 14]          # three smallest ts of key k0
