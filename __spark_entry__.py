@@ -612,6 +612,20 @@ def q_lsh_topk(spark, sf_dir):
                       _r4("cosine").alias("cosine"))
 
 
+def q_contamination(spark, sf_dir):
+    # benchmark decontamination: distinct-shingle overlap of every
+    # corpus doc against the doc_id<20 "benchmark" slice. Integer-exact
+    # across engines: the same base-257 rolling-poly shingle hash as
+    # the minhash kernel, re-rendered in the DuckDB oracle.
+    from openmldb_spark.pipeline.decontam import contamination_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") < 20)
+    out = contamination_scores(docs, bench, shingle=8)
+    return out.select("doc_id", "n_shingles", "n_contaminated",
+                      _r4("contamination").alias("contamination"))
+
+
 def q_dataset_split(spark, sf_dir):
     # deterministic id-stable train/val/test assignment: one Arrow
     # splitmix64 pass, no shuffle, no RNG state — the oracle re-derives
@@ -737,6 +751,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": q_ivf_topk,
         "dataset_split": q_dataset_split,
         "cap_per_key": q_cap_per_key,
+        "contamination": q_contamination,
         "near_dup_pairs": q_near_dup_pairs,
         "media_features": q_media_features,
     }
@@ -749,6 +764,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # splitmix64-derived permutation params and plane coefficients are
 # inlined as literals, FNV-1a runs as a HUGEINT list_reduce fold, and
 # sha256 is byte-identical across both engines.
+
+
+def _contamination_oracle_sql() -> str:
+    """Distinct k=8 shingle hashes per doc (same base-257 rolling poly
+    mod 2^31-1 as the engine kernel; HUGEINT terms — 257^7*255 overflows
+    BIGINT), benchmark = doc_id < 20, overlap via LEFT JOIN."""
+    k = 8
+    pows = [257 ** j for j in range(k)]
+    poly = " + ".join(
+        f"{pows[j]}::HUGEINT * ord(substr(t, CAST(i+{j} AS INT), 1))::HUGEINT"
+        for j in range(k))
+    short = ("COALESCE(NULLIF(list_sum(list_transform(range(1, strlen(t)+1),"
+             " i -> ord(substr(t, CAST(i AS INT), 1))"
+             " * (1::BIGINT << CAST(8*(i-1) AS INT)))), 0), 1)")
+    return f"""
+WITH nt AS (
+  SELECT doc_id, regexp_replace(lower(text), '\\s+', ' ', 'g') AS t
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+    CASE WHEN strlen(t) >= {k} THEN
+      list_transform(range(1, strlen(t) - {k - 2}),
+                     i -> CAST(({poly}) % 2147483647 AS BIGINT))
+    ELSE [ {short} % 2147483647 ] END AS hs
+  FROM nt
+),
+d AS (SELECT doc_id, list_distinct(hs) AS dh FROM sh),
+dr AS (SELECT doc_id, unnest(dh) AS h FROM d),
+bench AS (SELECT DISTINCT h FROM dr WHERE doc_id < 20),
+j AS (
+  SELECT dr.doc_id, count(*) AS n,
+         sum(CASE WHEN b.h IS NOT NULL THEN 1 ELSE 0 END) AS c
+  FROM dr LEFT JOIN bench b ON dr.h = b.h
+  GROUP BY dr.doc_id
+)
+SELECT doc_id, CAST(n AS INT) AS n_shingles,
+       CAST(c AS INT) AS n_contaminated,
+       ROUND(c / n + 0.000001, 4) AS contamination
+FROM j
+"""
 
 
 def _minhash_sig_ctes() -> str:
@@ -1462,6 +1518,7 @@ FROM (SELECT query_id, neighbor_id, cosine,
       FROM scored)
 WHERE rank <= 7
 """,
+        "contamination": _contamination_oracle_sql(),
         "minhash_pairs": _minhash_oracle_sql(),
         "simhash": _simhash_oracle_sql(),
         "media_features": _media_oracle_sql(),

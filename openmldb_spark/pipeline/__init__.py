@@ -18,3 +18,6 @@ from openmldb_spark.pipeline.similarity import (  # noqa: F401
 from openmldb_spark.pipeline.sampling import (  # noqa: F401
     cap_per_key, downsample, split_column,
 )
+from openmldb_spark.pipeline.decontam import (  # noqa: F401
+    contamination_scores,
+)

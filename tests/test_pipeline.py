@@ -466,3 +466,46 @@ def test_cap_per_key(spark):
     got = sorted(r["rid"] for r in
                  newest.filter(F.col("k") == "k0").collect())
     assert got == [0, 7, 14]          # three smallest ts of key k0
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination
+
+
+def test_contamination_self_and_disjoint(spark, docs_df):
+    from openmldb_spark.pipeline.decontam import contamination_scores
+
+    bench = docs_df.filter(F.col("doc_id") % 3 == 0)
+    out = contamination_scores(docs_df, bench, shingle=8).toPandas()
+    # every benchmark doc's shingles are in the benchmark set
+    selfc = out[out.doc_id % 3 == 0]
+    assert (selfc.contamination == 1.0).all()
+    assert (out.n_contaminated <= out.n_shingles).all()
+    assert (out.n_shingles >= 1).all()
+    # a doc sharing no 8-gram with the benchmark scores 0
+    alien = spark.createDataFrame(
+        [(999, "zqxjkvbwpf" * 5)], "doc_id: long, text: string")
+    a = contamination_scores(alien, bench, shingle=8).toPandas()
+    assert a.contamination.iloc[0] == 0.0
+
+
+def test_contamination_matches_catalyst_shingles(spark, docs_df):
+    # cross-check the byte-buffer kernel against an independent
+    # Catalyst formulation: distinct string shingles + array_intersect
+    from openmldb_spark.pipeline.decontam import contamination_scores
+    from openmldb_spark.pipeline.dedup import _shingles
+
+    bench = docs_df.filter(F.col("doc_id") < 5)
+    got = contamination_scores(docs_df, bench, shingle=8).toPandas() \
+        .set_index("doc_id").sort_index()
+    sh = docs_df.select("doc_id",
+                        _shingles(F.col("text"), 8).alias("sh"))
+    bset = (sh.filter(F.col("doc_id") < 5)
+            .select(F.explode("sh").alias("s")).distinct()
+            .agg(F.collect_set("s")).collect()[0][0])
+    exp = sh.select(
+        "doc_id", F.size("sh").alias("n"),
+        F.size(F.array_intersect("sh", F.array(*[F.lit(s) for s in bset])))
+        .alias("c")).toPandas().set_index("doc_id").sort_index()
+    assert list(got.n_shingles) == list(exp.n)
+    assert list(got.n_contaminated) == list(exp.c)
