@@ -612,6 +612,16 @@ def q_lsh_topk(spark, sf_dir):
                       _r4("cosine").alias("cosine"))
 
 
+def q_pack_offsets(spark, sf_dir):
+    # context-window packing: global token offset per doc via the
+    # two-phase distributed prefix sum (range shuffle + per-partition
+    # totals + kernel cumsum) — never a single-task global window
+    from openmldb_spark.pipeline.packing import pack_offsets
+
+    docs = _t(spark, sf_dir, "documents")
+    return pack_offsets(docs, chunk_tokens=512)
+
+
 def q_contamination(spark, sf_dir):
     # benchmark decontamination: distinct-shingle overlap of every
     # corpus doc against the doc_id<20 "benchmark" slice. Integer-exact
@@ -752,6 +762,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dataset_split": q_dataset_split,
         "cap_per_key": q_cap_per_key,
         "contamination": q_contamination,
+        "pack_offsets": q_pack_offsets,
         "near_dup_pairs": q_near_dup_pairs,
         "media_features": q_media_features,
     }
@@ -1517,6 +1528,27 @@ FROM (SELECT query_id, neighbor_id, cosine,
                                 ORDER BY cosine DESC, neighbor_id) AS rank
       FROM scored)
 WHERE rank <= 7
+""",
+        "pack_offsets": """
+WITH tc AS (
+  SELECT doc_id,
+         CASE WHEN strlen(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+         END::BIGINT AS n_tokens
+  FROM documents
+),
+cum AS (
+  SELECT doc_id, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             0)::BIGINT AS tok_start
+  FROM tc
+)
+SELECT doc_id, n_tokens, tok_start,
+       (tok_start // 512)::BIGINT AS chunk_first,
+       (CASE WHEN n_tokens > 0 THEN (tok_start + n_tokens - 1) // 512
+             ELSE tok_start // 512 END)::BIGINT AS chunk_last
+FROM cum
 """,
         "contamination": _contamination_oracle_sql(),
         "minhash_pairs": _minhash_oracle_sql(),

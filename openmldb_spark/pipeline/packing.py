@@ -1,0 +1,93 @@
+"""Context-window packing offsets: where each document lands when the
+corpus is concatenated in id order and chunked into fixed token windows.
+
+GPT-style pretraining prep concatenates documents (in a deterministic
+order) and slices the token stream into ``chunk_tokens``-sized training
+sequences. The quantity every sharder needs is each doc's GLOBAL token
+offset — a prefix sum over the corpus. A naive Spark window
+(``Window.orderBy(id)`` with no partition key) computes it in ONE task;
+this implements the scale-correct two-phase distributed prefix sum:
+
+1. range-repartition by id and sort within partitions (global order
+   across partition boundaries), then **pin the partitioning** with a
+   localCheckpoint — ``repartitionByRange`` SAMPLES its boundaries, so
+   two separate actions over the un-pinned plan could disagree on which
+   partition a row lands in (the recomputed-lineage hazard this repo
+   fixed for window row-ids, window_agg.py multi-window);
+2. one small job collects the per-partition token totals (numPartitions
+   numbers — bytes, not rows) and turns them into per-partition start
+   offsets on the driver;
+3. one ``mapInPandas`` pass adds the broadcast offset to the partition-
+   local cumulative sum. No row ever crosses the wire; the only
+   full-data movement is the range shuffle that any global order needs.
+
+Output per doc: ``n_tokens`` (whitespace tokens — text.token_count
+semantics), ``tok_start`` (global offset), ``chunk_first`` /
+``chunk_last`` (the training sequences the doc touches). Empty docs
+occupy zero tokens: chunk_last == chunk_first marks the insertion
+point. Exactly reproducible in SQL (one window cumsum) — the driver
+oracle pins it.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from openmldb_spark.pipeline.text import token_count
+
+
+def pack_offsets(df: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text", chunk_tokens: int = 2048,
+                 num_partitions: int | None = None) -> DataFrame:
+    """(id, n_tokens, tok_start, chunk_first, chunk_last) per doc."""
+    if chunk_tokens <= 0:
+        raise ValueError("chunk_tokens must be > 0")
+    spark = df.sparkSession
+    nparts = num_partitions or spark.sparkContext.defaultParallelism
+    d = (df.select(F.col(id_col), token_count(text_col).alias("__nt"))
+         .repartitionByRange(nparts, F.col(id_col))
+         .sortWithinPartitions(id_col)
+         .localCheckpoint())           # pin sampled range boundaries
+
+    pid = F.spark_partition_id()
+    sums = {r["pid"]: r["s"] for r in
+            d.groupBy(pid.alias("pid"))
+             .agg(F.sum("__nt").alias("s")).collect()}
+    offsets = {}
+    acc = 0
+    for p in sorted(sums):
+        offsets[p] = acc
+        acc += int(sums[p] or 0)
+    bc = spark.sparkContext.broadcast(offsets)
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    schema = (f"{id_col} {id_type}, n_tokens bigint, tok_start bigint, "
+              f"chunk_first bigint, chunk_last bigint")
+    c = chunk_tokens
+
+    def batches(it):
+        offs = bc.value
+        run = None                       # partition-local running total
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            if run is None:
+                run = offs[int(pdf["__pid"].iloc[0])]
+            nt = pdf["__nt"].to_numpy(dtype=np.int64)
+            ends = run + np.cumsum(nt)
+            starts = ends - nt
+            run = int(ends[-1]) if len(ends) else run
+            first = starts // c
+            last = np.where(nt > 0, (ends - 1) // c, first)
+            yield pd.DataFrame({
+                id_col: pdf[id_col].to_numpy(),
+                "n_tokens": nt, "tok_start": starts,
+                "chunk_first": first, "chunk_last": last,
+            })
+
+    return (d.withColumn("__pid", pid)
+            .mapInPandas(batches, schema))

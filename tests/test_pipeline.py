@@ -509,3 +509,29 @@ def test_contamination_matches_catalyst_shingles(spark, docs_df):
         .alias("c")).toPandas().set_index("doc_id").sort_index()
     assert list(got.n_shingles) == list(exp.n)
     assert list(got.n_contaminated) == list(exp.c)
+
+
+# ---------------------------------------------------------------------------
+# context-window packing
+
+
+def test_pack_offsets_prefix_sum_and_invariance(spark, docs_df):
+    from openmldb_spark.pipeline.packing import pack_offsets
+    from openmldb_spark.pipeline.text import token_count
+
+    out = pack_offsets(docs_df, chunk_tokens=64, num_partitions=5) \
+        .toPandas().sort_values("doc_id").reset_index(drop=True)
+    ref = docs_df.select("doc_id", token_count("text").alias("n")) \
+        .toPandas().sort_values("doc_id").reset_index(drop=True)
+    import numpy as np
+    starts = np.concatenate(([0], np.cumsum(ref.n.to_numpy())[:-1]))
+    assert list(out.n_tokens) == list(ref.n)
+    assert list(out.tok_start) == list(starts)
+    assert (out.chunk_first == out.tok_start // 64).all()
+    # contiguity: each doc starts exactly where the previous one ended
+    assert list(out.tok_start[1:]) == \
+        list((out.tok_start + out.n_tokens)[:-1])
+    # partition-count invariant (the two-phase sum, not task luck)
+    out2 = pack_offsets(docs_df, chunk_tokens=64, num_partitions=2) \
+        .toPandas().sort_values("doc_id").reset_index(drop=True)
+    assert list(out2.tok_start) == list(out.tok_start)
