@@ -21,3 +21,6 @@ from openmldb_spark.pipeline.sampling import (  # noqa: F401
 from openmldb_spark.pipeline.decontam import (  # noqa: F401
     contamination_scores,
 )
+from openmldb_spark.pipeline.packing import (  # noqa: F401
+    pack_offsets,
+)
