@@ -115,11 +115,18 @@ def test_minhash_sig_path_no_lingering_cache(docs_df, tmp_path):
 
     spark = docs_df.sparkSession
     spark.catalog.clearCache()
+    # Diff persistent-RDD ids rather than asserting a global zero:
+    # earlier tests' localCheckpoint pins (e.g. backfill row-id) linger
+    # until the ContextCleaner GCs them, which is timing-dependent.
+    jsc = spark.sparkContext._jsc.sc()
+    ids = lambda: set(  # noqa: E731
+        spark.sparkContext._jvm.scala.collection.JavaConverters
+        .mapAsJavaMap(jsc.getPersistentRDDs()).keySet().toArray())
+    before = ids()
     via_path = minhash_lsh_pairs(
         docs_df, num_hashes=32, bands=8, shingle=4,
         sig_path=str(tmp_path / "sigs")).toPandas()
-    jsc = spark.sparkContext._jsc.sc()
-    assert jsc.getPersistentRDDs().size() == 0
+    assert ids() - before == set()
     via_persist = minhash_lsh_pairs(
         docs_df, num_hashes=32, bands=8, shingle=4).toPandas()
     spark.catalog.clearCache()
