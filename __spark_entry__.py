@@ -236,6 +236,43 @@ def q_window_median(spark, sf_dir):
                       _r4("med_cap").alias("med_cap"))
 
 
+def q_nested_udaf(spark, sf_dir):
+    """Nested UDAF-in-UDAF arguments (reference hybridse UDAF
+    composition, cases/function/function/test_udaf_function.yaml#53 /
+    hybridsql_gen_cases/auto_gen_case_0.yaml): the inner aggregate is a
+    per-OUTPUT-ROW constant; the front-end decomposes the call
+    algebraically into plain windowed aggs (sql.
+    _decompose_nested_agg_arg) so the plan stays fully JVM-native."""
+    from openmldb_spark.sql import run_windowed_sql
+    ev = _win_events(spark, sf_dir).withColumn(
+        "__case_rid", F.col("event_id"))
+    out = run_windowed_sql(
+        "select event_id, user_id, "
+        "sum(value + count(value)) over w as s_shift, "
+        "min_where(value + sum_where(value, value > 50), value <= 50) "
+        "over w as m_base "
+        "from {0} window w as (partition by user_id order by ts "
+        "rows between 3 preceding and current row)", [ev])
+    return out.select("event_id", "user_id",
+                      _r4("s_shift").alias("s_shift"),
+                      _r4("m_base").alias("m_base"))
+
+
+def q_count_eq_current(spark, sf_dir):
+    """count_where with an equals-CURRENT-ROW condition (reference
+    test_udaf_function.yaml#47/#48: count_where(v, c = first_value(c))
+    counts frame rows matching the current row's value) — the kernel's
+    sliding-counter path (window_agg cond_l/cond_r)."""
+    ev = _win_events(spark, sf_dir).withColumn(
+        "bucket", F.pmod(F.col("event_id"), F.lit(5)).cast("int"))
+    spec = WindowSpecFE(["user_id"], "ts", frame="range",
+                        start=3_600_000, end=0, peer="sql")
+    out = window_agg(ev, spec, [
+        Agg("cnt_eq", "count_where", "event_id",
+            cond_l="bucket", cond_r="bucket")])
+    return out.select("event_id", "user_id", "cnt_eq")
+
+
 def q_window_exclude_current_row(spark, sf_dir):
     spec = WindowSpecFE(["user_id"], "ts", frame="range", start=3_600_000,
                         end=0, exclude_current_row=True,
@@ -729,6 +766,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_open_range": q_window_open_range,
         "window_maxsize": q_window_maxsize,
         "window_median": q_window_median,
+        "nested_udaf": q_nested_udaf,
+        "count_eq_current": q_count_eq_current,
         "window_exclude_current_row": q_window_exclude_current_row,
         "window_exclude_current_time": q_window_exclude_current_time,
         "window_union": q_window_union,
@@ -1181,6 +1220,26 @@ SELECT e.event_id, e.user_id,
             AND {_LATERAL_VIS}
           ORDER BY epoch_ms(e2.ts) DESC, e2.event_id DESC LIMIT 5)) AS med_cap
 FROM events e
+""",
+        "nested_udaf": """
+SELECT event_id, user_id,
+       ROUND(sum(value) OVER w
+             + count(value) OVER w * count(value) OVER w
+             + 0.000001, 4) AS s_shift,
+       ROUND(min(CASE WHEN value <= 50 THEN value END) OVER w
+             + sum(CASE WHEN value > 50 THEN value END) OVER w
+             + 0.000001, 4) AS m_base
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id
+             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+""",
+        "count_eq_current": """
+SELECT e.event_id, e.user_id, count(f.event_id) AS cnt_eq
+FROM events e JOIN events f
+  ON f.user_id = e.user_id
+ AND epoch_ms(f.ts) BETWEEN epoch_ms(e.ts) - 3600000 AND epoch_ms(e.ts)
+ AND (f.event_id % 5) = (e.event_id % 5)
+GROUP BY e.event_id, e.user_id
 """,
         "window_exclude_current_row": f"""
 SELECT e.event_id, e.user_id,

@@ -107,6 +107,18 @@ class Agg:
     split_kv: str | None = None      # kv delimiter (by_key / by_value)
     split_mode: str | None = None    # None | "all" | "key" | "value"
     join_sep: str | None = None      # fz_join output separator
+    # per-row top-n count: a column whose CURRENT-ROW value is the n
+    # bound (the reference's top_n_* n argument is an ordinary update
+    # arg, so a column/expression is accepted —
+    # hybridsql_gen_cases/auto_gen_case_0.yaml passes c_2_int32);
+    # NULL n -> NULL output, n < 1 -> empty map (bound keeps nothing)
+    n_col: str | None = None
+    # equals-current-row condition (count_where(v, L = R) where R is an
+    # aggregate bound at the CURRENT output row — test_udaf_function
+    # #47/#48 goldens): per-row columns; the kernel counts frame rows
+    # with L[j] == R[i] via a sliding counter
+    cond_l: str | None = None
+    cond_r: str | None = None
 
 
 @dataclass
@@ -417,7 +429,9 @@ def _make_kernel(spec: WindowSpecFE, aggs: list[Agg], out_cols: list[str],
     peer_sql = spec.peer == "sql"
     has_union = inst_not  # mask to union rows only when instance_not_in_window
     tiebreak = list(spec.tiebreak)
-    agg_specs = [(a.name, a.fn, a.col, a.cond, a.n, a.cate) for a in aggs]
+    agg_specs = [(a.name, a.fn, a.col, a.cond, a.n, a.cate, a.n_col,
+                  a.cond_l, a.cond_r)
+                 for a in aggs]
     split_params = {a.name: (a.split_sep, a.split_kv, a.split_mode,
                              a.join_sep)
                     for a in aggs if a.fn in _SPLIT_FNS}
@@ -528,8 +542,11 @@ def _make_kernel(spec: WindowSpecFE, aggs: list[Agg], out_cols: list[str],
         empty = chi < lo
 
         # ---- prefix structures per referenced column
-        cols_needed = {c for (_, fn, c, _, _, _) in agg_specs if c} | \
-                      {ct for (_, _, _, _, _, ct) in agg_specs if ct}
+        cols_needed = {c for (_, fn, c, *_r) in agg_specs if c} | \
+                      {s[5] for s in agg_specs if s[5]} | \
+                      {s[6] for s in agg_specs if s[6]} | \
+                      {s[7] for s in agg_specs if s[7]} | \
+                      {s[8] for s in agg_specs if s[8]}
         tok_cache: dict = {}
         arr: dict[str, np.ndarray] = {}
         for c in cols_needed:
@@ -566,8 +583,59 @@ def _make_kernel(spec: WindowSpecFE, aggs: list[Agg], out_cols: list[str],
         out: dict[str, np.ndarray | list] = {}
         self_add = sep_self2 and self_in2
 
-        for (name, fn, col, cond, nn, cate) in agg_specs:
+        for (name, fn, col, cond, nn, cate, n_col,
+             cond_l, cond_r) in agg_specs:
             extra = cond_mask.get(cond) if cond else None
+            if fn == "count_where" and cond_l:
+                # equals-current-row condition: count frame rows j with
+                # L[j] == R[i] (R bound at the current output row).
+                # Sliding counter over the monotone [lo, chi] bounds —
+                # O(rows + slides); non-monotone steps rebuild.
+                Lv = np.asarray(arr[cond_l], dtype=object)
+                Rv = np.asarray(arr[cond_r], dtype=object)
+                if col in (None, "*"):
+                    okn = np.ones(m, dtype=bool)
+                else:
+                    okn = pd.Series(arr[col]).notna().to_numpy()
+                if extra is not None:
+                    okn = okn & extra
+                ok = okn & mask & pd.Series(Lv).notna().to_numpy()
+                res = np.zeros(m, dtype=np.int64)
+                cnt: dict = {}
+                cl, ch_ = 0, -1
+                for i in range(m):
+                    if not emit[i]:
+                        continue
+                    l, h = int(lo[i]), int(chi[i])
+                    if h < l:
+                        l, h = 0, -1
+                    if l < cl or h < ch_:
+                        cnt, cl, ch_ = {}, l, l - 1
+                    while ch_ < h:
+                        ch_ += 1
+                        if ok[ch_]:
+                            k = Lv[ch_]
+                            cnt[k] = cnt.get(k, 0) + 1
+                    while cl < l:
+                        if ok[cl]:
+                            k = Lv[cl]
+                            c0 = cnt[k] - 1
+                            if c0:
+                                cnt[k] = c0
+                            else:
+                                del cnt[k]
+                        cl += 1
+                    r = Rv[i]
+                    if r is None or (isinstance(r, float) and np.isnan(r)):
+                        res[i] = 0
+                        continue
+                    c0 = cnt.get(r, 0)
+                    if self_add and okn[i] and Lv[i] is not None \
+                            and Lv[i] == r:
+                        c0 += 1
+                    res[i] = c0
+                out[name] = res
+                continue
             if fn in _SPLIT_FNS:
                 sep, kv, mode, jsep = split_params[name]
                 tkey = (col, sep, kv, mode)
@@ -794,6 +862,13 @@ def _make_kernel(spec: WindowSpecFE, aggs: list[Agg], out_cols: list[str],
                 cate_fmt=_cate_fmt_for(src_types.get(f"{name}/cate")),
                 val_fmt=_cate_fmt_for(src_types.get(name)),
                 null_default=_null_default(src_types.get(name, "")))
+            narr = None
+            if n_col:
+                # per-row top-n bound: evaluated at the CURRENT output
+                # row (request-mode reading of the n update-arg)
+                narr = pd.to_numeric(pd.Series(arr[n_col]),
+                                     errors="coerce") \
+                    .to_numpy(np.float64)
             res_l: list = [None] * m
             for i in range(m):
                 if not emit[i]:
@@ -802,6 +877,14 @@ def _make_kernel(spec: WindowSpecFE, aggs: list[Agg], out_cols: list[str],
                 if h < l:
                     l, h = 0, -1
                 state.slide(l, h)
+                if narr is not None:
+                    nv = narr[i]
+                    if np.isnan(nv):
+                        continue               # NULL n -> NULL output
+                    if nv < 1:
+                        res_l[i] = ""          # bound keeps nothing
+                        continue
+                    state.nn = int(nv)
                 res_l[i] = state.result(i if self_add else None)
             out[name] = res_l
 
@@ -812,8 +895,18 @@ def _make_kernel(spec: WindowSpecFE, aggs: list[Agg], out_cols: list[str],
         all_emit = bool(emit.all())
         base = (pdf[passthrough] if all_emit
                 else pdf.loc[emit, passthrough].reset_index(drop=True))
+        # integer passthrough columns that carry NULLs (e.g. the
+        # unmatched side of a LAST JOIN) arrive as float64; Arrow's
+        # safe cast back to the declared int type rejects NaN — rebox
+        # as nullable Int64 so NULLs survive the return trip
+        fixes = {c: pd.Series(base[c], dtype="Float64").astype("Int64")
+                 for c in passthrough
+                 if dtypes.get(c, "") in ("bigint", "int", "smallint")
+                 and base[c].dtype.kind == "f"}
+        if fixes:
+            base = base.assign(**fixes)
         res_cols: dict[str, object] = {}
-        for (name, fn, col, cond, nn, cate) in agg_specs:
+        for (name, fn, col, cond, nn, cate, n_col, *_cc) in agg_specs:
             v = out[name]
             v = np.asarray(v, dtype=object) if isinstance(v, list) else v
             vv = v if all_emit else v[emit]
@@ -1130,7 +1223,8 @@ def _validate_agg_types(df: DataFrame, aggs: Sequence[Agg]) -> None:
                 raise ValueError(f"{a.fn} category ({a.cate}: {ct}) — "
                                  f"float/double/bool keys are not "
                                  f"supported")
-            if a.fn.startswith("top_n_") and (a.n is None or a.n < 1):
+            if a.fn.startswith("top_n_") and a.n_col is None \
+                    and (a.n is None or a.n < 1):
                 raise ValueError(f"{a.fn} requires a positive top-n "
                                  f"count, got {a.n!r}")
 
@@ -1186,7 +1280,7 @@ def window_agg(df: DataFrame, spec: WindowSpecFE, aggs: Sequence[Agg],
     df = df.filter(F.col(spec.order_by).isNotNull())
 
     use_kernel = spec.needs_kernel() or skew is not None \
-        or any(a.fn not in _NATIVE_FNS for a in aggs)
+        or any(a.fn not in _NATIVE_FNS or a.cond_l for a in aggs)
 
     if not use_kernel and not spec.union_dfs:
         return _native(df, spec, aggs)
@@ -1221,7 +1315,8 @@ def multi_window_agg(df: DataFrame,
     native, kernel = [], []
     for spec, aggs in windows:
         needs = spec.needs_kernel() or skew is not None \
-            or any(a.fn not in _NATIVE_FNS for a in aggs) or spec.union_dfs
+            or any(a.fn not in _NATIVE_FNS or a.cond_l for a in aggs) \
+            or spec.union_dfs
         (kernel if needs else native).append((spec, aggs))
 
     # kernel-path results are zipped back by an explicit row id bound
@@ -1369,7 +1464,8 @@ def _kernel_exec(df: DataFrame, spec: WindowSpecFE, aggs: list[Agg],
 
     passthrough = [c for c in df.columns]
     in_schema = df.schema
-    dtypes = {}
+    dtypes = {c: in_schema[c].dataType.simpleString()
+              for c in passthrough}
     out_fields = [in_schema[c] for c in passthrough]
     for a in aggs:
         t = _agg_out_type(a, in_schema)

@@ -178,3 +178,21 @@ def test_ivf_probe_join_broadcasts_queries(spark):
     # exactly one shuffle (the final rank); the other Exchange mentions
     # are the broadcast (tree + detail lines count one node twice)
     assert p.count("+- Exchange ") <= 1, p
+
+
+def test_nested_udaf_decomposition_stays_native(spark):
+    # sum(v + count(v)) OVER w decomposes algebraically into plain
+    # windowed aggs (sql._decompose_nested_agg_arg) — the plan must be
+    # JVM-native window execs, no Arrow kernel of either kind
+    from openmldb_spark.sql import run_windowed_sql
+
+    df = spark.range(6).select(
+        F.lit("a").alias("k"), F.col("id").alias("ts"),
+        F.col("id").alias("v"), F.col("id").alias("__case_rid"))
+    out = run_windowed_sql(
+        "select ts, sum(v + count(v)) over w as s from {0} "
+        "window w as (partition by k order by ts rows between "
+        "5 preceding and current row)", [df])
+    p = plan_of(out)
+    assert "MapInPandas" not in p and "FlatMapGroupsInPandas" not in p, p
+    assert "Window" in p, p
