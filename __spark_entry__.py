@@ -23,7 +23,7 @@ from openmldb_spark import (
 from openmldb_spark.functions import aggregates as A
 from openmldb_spark.pipeline import (
     brute_force_topk, cap_per_key, exact_dedup, lsh_bucketed_topk,
-    minhash_lsh_pairs, simhash, split_column,
+    minhash_lsh_pairs, simhash, split_column, dedup_components,
 )
 from openmldb_spark.pipeline.sampling import splitmix_sql
 from openmldb_spark.pipeline.text import (
@@ -636,6 +636,17 @@ def q_minhash_pairs(spark, sf_dir):
                       .alias("est_jaccard"))
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Dup PAIRS → dedup CLUSTERS: connected components over the
+    minhash candidate graph (pipeline.dedup.dedup_components,
+    large-star/small-star) — A≈B and B≈C collapse to one kept document
+    even when (A, C) was never a candidate pair."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, num_hashes=64, bands=16, shingle=5,
+                              threshold=0.5)
+    return dedup_components(pairs).select("doc_id", "component_id")
+
+
 def q_simhash(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return simhash(docs, "text", "doc_id")
@@ -795,6 +806,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "embed_knn": q_embed_knn,
         "minhash_pairs": q_minhash_pairs,
+        "dedup_clusters": q_dedup_clusters,
         "simhash": q_simhash,
         "lsh_topk": q_lsh_topk,
         "ivf_topk": q_ivf_topk,
@@ -913,6 +925,36 @@ pr AS (
 )
 SELECT id_a, id_b, ROUND(CAST(agree AS DOUBLE)/64 + 0.000001, 4) AS est_jaccard
 FROM pr WHERE nbands > 0 AND CAST(agree AS DOUBLE)/64 >= 0.5
+"""
+
+
+def _dedup_clusters_oracle_sql() -> str:
+    """Connected components of the minhash candidate graph by exact
+    transitive closure (recursive CTE): min reachable id per node."""
+    return f"""
+WITH RECURSIVE {_minhash_sig_ctes()},
+pr AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         len(list_filter(range(0,64),
+             i -> a.sig[CAST(i+1 AS INT)] = b.sig[CAST(i+1 AS INT)])) AS agree,
+         len(list_filter(range(0,16),
+             g -> a.sig[CAST(4*g+1 AS INT)] = b.sig[CAST(4*g+1 AS INT)]
+              AND a.sig[CAST(4*g+2 AS INT)] = b.sig[CAST(4*g+2 AS INT)]
+              AND a.sig[CAST(4*g+3 AS INT)] = b.sig[CAST(4*g+3 AS INT)]
+              AND a.sig[CAST(4*g+4 AS INT)] = b.sig[CAST(4*g+4 AS INT)])) AS nbands
+  FROM sg a JOIN sg b ON a.doc_id < b.doc_id
+),
+p2 AS (SELECT id_a, id_b FROM pr
+       WHERE nbands > 0 AND CAST(agree AS DOUBLE)/64 >= 0.5),
+e AS (SELECT id_a AS u, id_b AS v FROM p2
+      UNION SELECT id_b, id_a FROM p2),
+reach(n, r) AS (
+  SELECT u, v FROM e
+  UNION
+  SELECT e.u, reach.r FROM e JOIN reach ON e.v = reach.n
+)
+SELECT n AS doc_id, least(min(r), n) AS component_id
+FROM reach GROUP BY n
 """
 
 
@@ -1611,6 +1653,7 @@ FROM cum
 """,
         "contamination": _contamination_oracle_sql(),
         "minhash_pairs": _minhash_oracle_sql(),
+        "dedup_clusters": _dedup_clusters_oracle_sql(),
         "simhash": _simhash_oracle_sql(),
         "media_features": _media_oracle_sql(),
         "lsh_topk": _lsh_topk_oracle_sql(),

@@ -10,7 +10,7 @@ all-pairs joins.
 from openmldb_spark.pipeline.text import text_features  # noqa: F401
 from openmldb_spark.pipeline.dedup import (  # noqa: F401
     exact_dedup, minhash_signatures, minhash_lsh_pairs, simhash,
-    ngram_jaccard_pairs, embedding_near_dup_pairs,
+    ngram_jaccard_pairs, embedding_near_dup_pairs, dedup_components,
 )
 from openmldb_spark.pipeline.similarity import (  # noqa: F401
     brute_force_topk, ivf_topk, lsh_bucketed_topk,

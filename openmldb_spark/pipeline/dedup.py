@@ -359,3 +359,84 @@ def embedding_near_dup_pairs(df: DataFrame, vec_col: str = "embedding",
                      cos(F.col(f"a.{vec_col}"),
                          F.col(f"b.{vec_col}")).alias("cosine")))
     return pairs.filter(F.col("cosine") >= threshold)
+
+
+def dedup_components(pairs: DataFrame, id_a: str = "id_a",
+                     id_b: str = "id_b",
+                     max_iter: int = 30) -> DataFrame:
+    """Connected components over duplicate PAIRS → one canonical id per
+    duplicate CLUSTER: returns ``(doc_id, component_id)`` where
+    component_id is the smallest id in the component, for every id that
+    appears in ``pairs``. Transitive closure matters for dedup: A≈B and
+    B≈C must collapse to ONE kept document even when (A, C) was never a
+    candidate pair.
+
+    Alternating large-star / small-star (the public MapReduce
+    connected-components formulation — Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC'14), expressed as pure
+    DataFrame groupBy/join rounds:
+
+    - large-star: attach every neighbor LARGER than u directly to
+      ``m(u) = min(N(u) ∪ {u})`` — high-degree hubs fan their neighbors
+      straight at the component minimum, so skewed dup clusters (one
+      boilerplate page duplicated millions of times) flatten in one
+      round instead of crawling a chain;
+    - small-star: re-point u and its smaller neighbors at m(u).
+
+    Converges in O(log n) rounds (vs O(diameter) for naive label
+    propagation — a 10^6-long near-dup chain needs ~20 rounds, not
+    10^6). Every round shuffles ONLY (u, v) id pairs (16 B/row), never
+    text; each round's result is localCheckpoint-ed so the iterative
+    plan's lineage stays flat (the same recomputed-lineage hazard class
+    as the window row-id pin). Convergence is detected by an
+    order-insensitive edge-set fingerprint (count + xxhash64 sum), one
+    tiny aggregate per round.
+    """
+    e = (pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+         .filter(F.col("u") != F.col("v")).distinct())
+
+    def fingerprint(edges: DataFrame):
+        row = edges.agg(
+            F.count(F.lit(1)).alias("n"),
+            # XOR-fold of per-edge hashes: order-insensitive and
+            # overflow-free (a SUM of int64 hashes trips ANSI overflow)
+            F.expr("bit_xor(xxhash64(u, v))").alias("h")).collect()[0]
+        return (row["n"], row["h"])
+
+    e = e.localCheckpoint(eager=True)
+    prev = fingerprint(e)
+    for _ in range(max_iter):
+        # large-star
+        sym = e.union(e.select(F.col("v").alias("u"),
+                               F.col("u").alias("v")))
+        mins = sym.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m"))
+        e = (sym.join(mins, "u")
+             .filter(F.col("v") > F.col("u"))
+             .select(F.col("v").alias("u"), F.col("m").alias("v"))
+             .distinct())
+        # small-star over larger→smaller directed edges
+        d = (e.select(F.greatest("u", "v").alias("u"),
+                      F.least("u", "v").alias("v"))
+             .filter(F.col("u") != F.col("v")).distinct())
+        mins = d.groupBy("u").agg(F.min("v").alias("m"))
+        joined = d.join(mins, "u")
+        e = (joined.filter(F.col("v") != F.col("m"))
+             .select(F.col("v").alias("u"), F.col("m").alias("v"))
+             .union(mins.select("u", F.col("m").alias("v")))
+             .distinct()
+             .localCheckpoint(eager=True))
+        cur = fingerprint(e)
+        if cur == prev:
+            break
+        prev = cur
+    else:
+        raise RuntimeError(
+            f"dedup_components did not converge in {max_iter} rounds")
+    # e is now a star forest: every edge points a member at its
+    # component's minimum id; minima map to themselves
+    return (e.select(F.col("u").alias("doc_id"),
+                     F.col("v").alias("component_id"))
+            .union(e.select(F.col("v").alias("doc_id"),
+                            F.col("v").alias("component_id")).distinct())
+            .distinct())

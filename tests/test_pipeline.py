@@ -542,3 +542,77 @@ def test_pack_offsets_prefix_sum_and_invariance(spark, docs_df):
     out2 = pack_offsets(docs_df, chunk_tokens=64, num_partitions=2) \
         .toPandas().sort_values("doc_id").reset_index(drop=True)
     assert list(out2.tok_start) == list(out.tok_start)
+
+
+# ---------------------------------------------------------------------------
+# connected components over dup pairs (large-star / small-star)
+
+
+def _uf_components(edges):
+    """Union-find reference: node -> min id of its component."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in edges:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    return {n: find(n) for n in parent}
+
+
+def test_dedup_components_vs_union_find(spark):
+    from openmldb_spark.pipeline import dedup_components
+
+    rng = np.random.default_rng(5)
+    edges = set()
+    # a long chain (multi-round convergence), a hub (skewed cluster),
+    # random noise edges, and an isolated pair
+    edges |= {(i, i + 1) for i in range(100, 160)}
+    edges |= {(7, x) for x in range(200, 240)}
+    for _ in range(80):
+        a, b = rng.integers(0, 400, 2)
+        if a != b:
+            edges.add((int(min(a, b)), int(max(a, b))))
+    edges.add((990, 991))
+    exp = _uf_components(edges)
+
+    pairs = spark.createDataFrame(
+        pd.DataFrame(sorted(edges), columns=["id_a", "id_b"]),
+        "id_a long, id_b long")
+    got = {r["doc_id"]: r["component_id"]
+           for r in dedup_components(pairs).collect()}
+    assert got == exp
+
+
+def test_dedup_components_transitive_chain(spark):
+    # A~B, B~C with no (A, C) pair must still collapse to one cluster
+    from openmldb_spark.pipeline import dedup_components
+
+    pairs = spark.createDataFrame(
+        [(2, 3), (1, 2)], "id_a long, id_b long")
+    got = dedup_components(pairs).toPandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert list(got["doc_id"]) == [1, 2, 3]
+    assert list(got["component_id"]) == [1, 1, 1]
+
+
+def test_dedup_components_end_to_end_minhash(docs_df):
+    # minhash pairs -> clusters: every pair endpoint maps to a component
+    # whose id is <= both endpoints, and co-paired docs share a component
+    from openmldb_spark.pipeline import dedup_components, minhash_lsh_pairs
+
+    pairs = minhash_lsh_pairs(docs_df, num_hashes=32, bands=8,
+                              shingle=4, threshold=0.5)
+    pp = pairs.toPandas()
+    if not len(pp):
+        pytest.skip("no candidate pairs in fixture")
+    comp = {r["doc_id"]: r["component_id"]
+            for r in dedup_components(pairs).collect()}
+    for a, b in zip(pp["id_a"], pp["id_b"]):
+        assert comp[a] == comp[b] <= min(a, b)
