@@ -699,7 +699,9 @@ def _decompose_nested_agg_arg(fn: str, arg: str, cond: str | None) -> str:
         if op == "*":
             return f"({mk('sum')} * {Q})"
         if op == "/" and not q_left:
-            return f"({mk('sum')} / {Q})"
+            # P/0 nulls every arg -> NULL sum; nullif keeps that
+            # contract under ANSI mode too
+            return f"({mk('sum')} / nullif({Q}, 0))"
     elif base == "avg":
         if op == "+":
             return f"({mk('avg')} + {Q})"
@@ -709,7 +711,7 @@ def _decompose_nested_agg_arg(fn: str, arg: str, cond: str | None) -> str:
         if op == "*":
             return f"({mk('avg')} * {Q})"
         if op == "/" and not q_left:
-            return f"({mk('avg')} / {Q})"
+            return f"({mk('avg')} / nullif({Q}, 0))"
     elif base in ("min", "max"):
         me, other = (mk("min"), mk("max")) if base == "min" \
             else (mk("max"), mk("min"))

@@ -172,3 +172,81 @@ def test_unsupported_nested_shapes_reject(spark):
     ):
         with pytest.raises(UnsupportedSQL):
             run_windowed_sql(sql, [df])
+
+
+# ---------------------------------------------------------------------------
+# full decomposition matrix: every supported (outer fn, op, Q side)
+
+
+def _outer_fold(fn, vals):
+    vals = [float(x) for x in vals if pd.notna(x)]
+    if fn == "count":
+        return len(vals)
+    if not vals:
+        return np.nan
+    return {"sum": sum, "avg": lambda v: sum(v) / len(v),
+            "min": min, "max": max}[fn](vals)
+
+
+_MATRIX = []
+for _fn in ("sum", "avg", "min", "max", "count"):
+    _ops = {"sum": ["+", "-", "*", "/"], "avg": ["+", "-", "*", "/"],
+            "min": ["+", "-", "*"], "max": ["+", "-", "*"],
+            "count": ["+", "-", "*", "/"]}[_fn]
+    for _op in _ops:
+        for _qleft in (False, True):
+            if _op == "/" and _qleft:
+                continue          # Q in the numerator: unsupported
+            if _op in ("+", "*") and _qleft:
+                continue          # commutative: same rewrite
+            _MATRIX.append((_fn, _op, _qleft))
+
+
+@pytest.mark.parametrize("fn,op,q_left", _MATRIX)
+def test_decomposition_matrix(spark, fn, op, q_left):
+    """Every decomposition branch vs a brute-force double-loop oracle.
+
+    The inner aggregate is min(v2) over the current row's frame with v2
+    spanning NEGATIVE values — exercising the sign-flip CASE of
+    min/max * Q — and hitting zero, exercising count's and sum's /0
+    NULL contract."""
+    rng = np.random.default_rng(97)
+    n = 30
+    pdf = pd.DataFrame({
+        "k": rng.choice(["a", "b"], n),
+        "ts": np.arange(n, dtype=np.int64),
+        "v": rng.integers(1, 6, n).astype(np.int64),
+        "v2": rng.integers(-3, 4, n).astype(np.int64),   # negatives + 0
+        "__case_rid": np.arange(n, dtype=np.int64),
+    })
+    pdf.loc[5, "v"] = None
+    df = spark.createDataFrame(
+        pdf.astype({"v": "Int64"}),
+        "k string, ts bigint, v bigint, v2 bigint, __case_rid bigint")
+
+    arg = f"min(v2) {op} v" if q_left else f"v {op} min(v2)"
+    got = run_windowed_sql(
+        f"select ts, {fn}({arg}) over w as s from {{0}} {WIN}",
+        [df]).toPandas().sort_values("ts")
+    gv = pd.to_numeric(got.set_index("ts")["s"]).reindex(pdf["ts"]) \
+        .to_numpy(np.float64)
+
+    def outer(g, js, i):
+        q = min(g.loc[js, "v2"])                     # never empty/null
+        vals = []
+        for j in js:
+            p = g.loc[j, "v"]
+            if pd.isna(p):
+                vals.append(np.nan)
+                continue
+            a, b = (q, p) if q_left else (p, q)
+            if op == "/" and b == 0:
+                vals.append(np.nan)                  # SQL /0 -> NULL
+            else:
+                vals.append({"+": a + b, "-": a - b, "*": a * b,
+                             "/": a / b if b else np.nan}[op])
+        return _outer_fold(fn, vals)
+
+    exp = _oracle(pdf, outer)
+    assert np.allclose(gv, exp, equal_nan=True), \
+        f"{fn}({arg}):\n got {gv}\n exp {exp}"
