@@ -537,15 +537,22 @@ def ttl_filter(df, index: IndexDef, now_ms: int | None = None,
     if index.ttl_type == "absolute":
         if not abs_ms:
             return df            # 0 / unset = no expiry
+        if index.ts is None:
+            raise DDLError("time-based TTL requires a ts column on the "
+                           f"index over {index.keys}")
         return time_live(df, index.ts, abs_ms, now_ms=now_ms)
     if index.ttl_type == "latest":
         if not lat:
             return df
+        # ts=None: latest-k by storage order (count_live handles it)
         return count_live(df, index.keys, index.ts, lat,
                           tiebreak=tiebreak)
     combine = "and" if index.ttl_type == "absorlat" else "or"
     if not abs_ms and not lat:
         return df
+    if index.ts is None:
+        raise DDLError("time-based TTL requires a ts column on the "
+                       f"index over {index.keys}")
     return time_and_count_live(df, index.keys, index.ts, abs_ms or 0,
                                lat or 0, now_ms=now_ms,
                                tiebreak=tiebreak, combine=combine)

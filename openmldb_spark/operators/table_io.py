@@ -128,7 +128,6 @@ def write_csv_outfile(df: DataFrame, path: str,
     null_value = opts.get("null_value", "null")
     delim = opts.get("delimiter", ",")
     d = _fmt_for_csv(df)
-    n = d.count()
     tmp = tempfile.mkdtemp(prefix="omls_outfile_")
     try:
         (d.coalesce(1).write.mode("overwrite")
@@ -146,10 +145,21 @@ def write_csv_outfile(df: DataFrame, path: str,
         write_mode = "ab" if mode == "append" else "wb"
         # the parent directory must exist (reference errors on a
         # missing export folder, test_out_in_offline.yaml#21)
+        # row count is taken DURING the byte merge (newlines minus the
+        # per-part header line) — a separate d.count() would execute
+        # the full upstream plan a second time
+        n = 0
         with open(path, write_mode) as dst:
             for p in parts:
+                nl = 0
                 with open(os.path.join(tmp, p), "rb") as src:
-                    shutil.copyfileobj(src, dst)
+                    while True:
+                        chunk = src.read(1 << 20)
+                        if not chunk:
+                            break
+                        nl += chunk.count(b"\n")
+                        dst.write(chunk)
+                n += max(nl - 1, 0) if header and nl else nl
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return n
@@ -179,6 +189,19 @@ def csv_cast(c, dtype, string_ts_tz: str | None = None):
     return c.cast(dtype)
 
 
+def _is_header_row(fields):
+    """True only when EVERY field equals its column name — a repeated
+    header line from an append-mode export. Matching on the first field
+    alone would drop a legitimate data row whose first value happens to
+    equal the first column's name."""
+    from pyspark.sql import functions as F
+    cond = None
+    for f in fields:
+        c = F.col(f.name) == F.lit(f.name)
+        cond = c if cond is None else (cond & c)
+    return F.coalesce(cond, F.lit(False))
+
+
 def read_csv_infile(spark: SparkSession, path: str, schema,
                     options: dict | None = None,
                     strict: bool = True,
@@ -204,6 +227,8 @@ def read_csv_infile(spark: SparkSession, path: str, schema,
     to the offline job's by-name mapping."""
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
+    if isinstance(schema, str):               # accept DDL strings
+        schema = T._parse_datatype_string(schema)
     opts = dict(options or {})
     header = opts.get("header", True)
     rd = (spark.read
@@ -218,9 +243,7 @@ def read_csv_infile(spark: SparkSession, path: str, schema,
         str_schema = T.StructType([T.StructField(f.name, T.StringType())
                                    for f in schema.fields])
         raw = rd.option("header", "true").schema(str_schema).csv(path)
-        first = schema.fields[0].name
-        raw = raw.filter((F.col(first) != F.lit(first))
-                         | F.col(first).isNull())
+        raw = raw.filter(~_is_header_row(schema.fields))
     elif header:
         raw = rd.option("header", "true").csv(path)
         missing = [f.name for f in schema.fields
@@ -229,9 +252,7 @@ def read_csv_infile(spark: SparkSession, path: str, schema,
             raise ValueError(f"csv header lacks table columns {missing}")
         # interior header lines from append-mode files
         # (test_out_in_offline.yaml#9): drop rows that repeat the header
-        first = schema.fields[0].name
-        raw = raw.filter((F.col(first) != F.lit(first))
-                         | F.col(first).isNull())
+        raw = raw.filter(~_is_header_row(schema.fields))
     else:
         str_schema = T.StructType([T.StructField(f.name, T.StringType())
                                    for f in schema.fields])

@@ -57,11 +57,25 @@ def time_live(df: DataFrame, ts_col: str, ttl_ms: int,
     return df.filter(ord_ms >= F.lit(int(now_ms) - ttl_ms))
 
 
-def count_live(df: DataFrame, keys: str | Sequence[str], ts_col: str,
-               k: int, tiebreak: Sequence[str] = ()) -> DataFrame:
+def count_live(df: DataFrame, keys: str | Sequence[str],
+               ts_col: str | None, k: int,
+               tiebreak: Sequence[str] = ()) -> DataFrame:
     """kTTLCountLive: keep the newest k rows per key (ties pinned by
-    ``tiebreak`` descending, newest-first)."""
+    ``tiebreak`` descending, newest-first).
+
+    ``ts_col=None``: the index has no time column — latest-k is by
+    STORAGE order (reference `index(key=..., ttl=1, ttl_type=latest)`
+    with no ts, e.g. fz_ddl luoji's `index1:reqId:null:1:latest`;
+    storage/table.h). The batch proxy for insertion order is the scan
+    order of the source, pinned per-row up front so the window's order
+    is total and stable across shuffles."""
     keys = [keys] if isinstance(keys, str) else list(keys)
+    if ts_col is None:
+        d = df.withColumn("__sid", F.monotonically_increasing_id())
+        w = Window.partitionBy(*keys).orderBy(
+            F.col("__sid").desc(), *[F.col(c).desc() for c in tiebreak])
+        return (d.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") <= k).drop("__rn", "__sid"))
     w = Window.partitionBy(*keys).orderBy(
         to_ms(df, ts_col).desc(),
         *[F.col(c).desc() for c in tiebreak])

@@ -38,41 +38,21 @@ _P = 2147483647                   # 2^31 - 1, matches dedup._P
 
 
 def _batch_shingle_hashes(texts: pd.Series, k: int) -> list[np.ndarray]:
-    """Distinct rolling-poly shingle hashes per doc, vectorized over the
-    whole Arrow batch: one concatenated byte buffer, ``k`` strided
-    passes, ragged segmentation — the dedup.py minhash formulation with
-    a per-doc ``np.unique`` instead of permutation minima."""
-    norm = (texts.fillna("").str.lower()
-            .str.replace(r"\s+", " ", regex=True))
-    enc = [t.encode("utf-8", "ignore") for t in norm]
-    n_docs = len(enc)
-    lens = np.fromiter((len(b) for b in enc), dtype=np.int64, count=n_docs)
+    """Distinct rolling-poly shingle hashes per doc — the SAME shared
+    vectorized core as the minhash kernel (dedup._batch_window_hashes:
+    one concatenated byte buffer, ``k`` strided passes, ragged
+    segmentation) with a per-doc ``np.unique`` instead of permutation
+    minima. Sharing the core keeps the DuckDB oracle arithmetic
+    bit-identical across dedup and decontamination."""
+    from openmldb_spark.pipeline.dedup import _batch_window_hashes
+
+    (n_docs, short, short_h, long_idx, hs, starts,
+     ends) = _batch_window_hashes(texts, k)
     out: list[np.ndarray | None] = [None] * n_docs
-    powers = (np.uint64(257) ** np.arange(k, dtype=np.uint64))
-    p = np.uint64(_P)
-
-    short = np.nonzero(lens < k)[0]
-    for i in short:                      # rare path: whole-doc fallback
-        h = np.uint64(int.from_bytes(enc[i], "little") or 1) % p
-        out[i] = np.array([h], dtype=np.uint64)
-
-    long_idx = np.nonzero(lens >= k)[0]
-    if len(long_idx):
-        buf = np.frombuffer(b"".join(enc), dtype=np.uint8)
-        bu = buf.astype(np.uint64)
-        offsets = np.concatenate(([0], np.cumsum(lens)))[:-1]
-        n_win = len(buf) - k + 1
-        all_h = np.zeros(n_win, dtype=np.uint64)
-        for j in range(k):
-            all_h += bu[j:j + n_win] * powers[j]
-        counts = lens[long_idx] - k + 1
-        ends = np.cumsum(counts)
-        starts = ends - counts
-        pos = (np.repeat(offsets[long_idx], counts)
-               + np.arange(int(ends[-1])) - np.repeat(starts, counts))
-        hs = all_h[pos] % p
-        for c, i in enumerate(long_idx):
-            out[i] = np.unique(hs[starts[c]:ends[c]])
+    for c, i in enumerate(short):        # rare path: whole-doc fallback
+        out[i] = short_h[c:c + 1]
+    for c, i in enumerate(long_idx):
+        out[i] = np.unique(hs[starts[c]:ends[c]])
     return out
 
 
@@ -92,12 +72,15 @@ def benchmark_hash_set(bench: DataFrame, text_col: str = "text",
         return pd.Series([h.astype(np.int64)
                           for h in _batch_shingle_hashes(texts, k)])
 
-    rows = (bench.select(F.explode(sh(F.col(text_col))).alias("h"))
-            .distinct().collect())
-    if len(rows) > bench_cap:
+    # limit(cap+1) BEFORE the fetch so an over-cap benchmark raises
+    # after pulling cap+1 rows, never after materializing the full set
+    # on the driver; Arrow toPandas avoids per-row Row-object overhead
+    hs = (bench.select(F.explode(sh(F.col(text_col))).alias("h"))
+          .distinct().limit(bench_cap + 1)
+          .toPandas()["h"].to_numpy(dtype=np.int64))
+    if len(hs) > bench_cap:
         raise ValueError(f"benchmark shingle set > bench_cap={bench_cap}")
-    return np.sort(np.array([r[0] for r in rows], dtype=np.int64)
-                   .view(np.uint64))
+    return np.sort(hs.view(np.uint64))
 
 
 def contamination_scores(docs: DataFrame, bench: DataFrame,

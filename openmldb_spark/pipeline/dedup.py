@@ -72,11 +72,59 @@ def exact_dedup(df: DataFrame, text_col: str = "text",
 
 
 def _splitmix_vec(x: np.ndarray) -> np.ndarray:
-    """Vectorized splitmix64 finalizer over a uint64 array (wrapping)."""
+    """Vectorized splitmix64 finalizer over a uint64 array (wrapping).
+    The single definition — sampling.py and the DuckDB oracles must
+    stay bit-identical to THIS arithmetic."""
     z = (x + np.uint64(0x9E3779B97F4A7C15))
     z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
     z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
     return z ^ (z >> np.uint64(31))
+
+
+def _batch_window_hashes(texts: pd.Series, k: int):
+    """Rolling-poly (base 257, mod ``_P``) hashes of every k-byte window
+    of every doc in one Arrow batch — the shared vectorized core of the
+    minhash kernel and decontam's shingle sets: one concatenated byte
+    buffer, ``k`` strided passes, ragged segmentation.
+
+    Returns ``(n_docs, short, short_h, long_idx, hs, starts, ends)``:
+    ``short`` docs (< k bytes) get a single whole-doc fallback hash in
+    ``short_h``; ``hs[starts[c]:ends[c]]`` are the window hashes of the
+    c-th long doc (``long_idx[c]``)."""
+    norm = (texts.fillna("").str.lower()
+            .str.replace(r"\s+", " ", regex=True))
+    enc = [t.encode("utf-8", "ignore") for t in norm]
+    n_docs = len(enc)
+    lens = np.fromiter((len(b) for b in enc), dtype=np.int64,
+                       count=n_docs)
+    powers = (np.uint64(257) ** np.arange(k, dtype=np.uint64))
+    p = np.uint64(_P)
+
+    short = np.nonzero(lens < k)[0]
+    short_h = np.array(
+        [np.uint64(int.from_bytes(enc[i], "little") or 1) % p
+         for i in short], dtype=np.uint64)
+
+    long_idx = np.nonzero(lens >= k)[0]
+    hs = np.empty(0, dtype=np.uint64)
+    starts = ends = np.empty(0, dtype=np.int64)
+    if len(long_idx):
+        buf = np.frombuffer(b"".join(enc), dtype=np.uint8)
+        bu = buf.astype(np.uint64)
+        offsets = np.concatenate(([0], np.cumsum(lens)))[:-1]
+        # all window hashes over the concatenation, k strided passes
+        n_win = len(buf) - k + 1
+        all_h = np.zeros(n_win, dtype=np.uint64)
+        for j in range(k):
+            all_h += bu[j:j + n_win] * powers[j]
+        # ragged arange selecting only windows fully inside one doc
+        counts = lens[long_idx] - k + 1
+        ends = np.cumsum(counts)
+        starts = ends - counts
+        pos = (np.repeat(offsets[long_idx], counts)
+               + np.arange(int(ends[-1])) - np.repeat(starts, counts))
+        hs = all_h[pos] % p
+    return n_docs, short, short_h, long_idx, hs, starts, ends
 
 
 def minhash_signatures(df: DataFrame, text_col: str = "text",
@@ -125,45 +173,24 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
     k = shingle
     n_bands = bands or 0
     rows_per = num_hashes // bands if bands else 0
-    # base-257 rolling polynomial over the raw utf-8 bytes
-    powers = (np.uint64(257) ** np.arange(k, dtype=np.uint64))
 
     @pandas_udf("array<bigint>")
     def mh(texts: pd.Series) -> pd.Series:
-        norm = (texts.fillna("").str.lower()
-                .str.replace(r"\s+", " ", regex=True))
-        enc = [t.encode("utf-8", "ignore") for t in norm]
-        n_docs = len(enc)
-        lens = np.fromiter((len(b) for b in enc), dtype=np.int64,
-                           count=n_docs)
+        # shared rolling-hash core (_batch_window_hashes): buffer
+        # concat, strided passes, ragged segmentation
+        (n_docs, short, short_h, long_idx, hs, starts,
+         _ends) = _batch_window_hashes(texts, k)
         out: list[np.ndarray | None] = [None] * n_docs
 
         # short docs (< k bytes): single fallback hash, handled per doc
         # (rare path — typically zero rows per batch)
-        short = np.nonzero(lens < k)[0]
-        for i in short:
-            h = np.uint64(int.from_bytes(enc[i], "little") or 1) % p
+        for c, i in enumerate(short):
+            h = short_h[c]
             out[i] = np.array(
                 [int((h * a + b) % p) for a, b in zip(a_list, b_list)],
                 dtype=np.int64)
 
-        long_idx = np.nonzero(lens >= k)[0]
         if len(long_idx):
-            buf = np.frombuffer(b"".join(enc), dtype=np.uint8)
-            bu = buf.astype(np.uint64)
-            offsets = np.concatenate(([0], np.cumsum(lens)))[:-1]
-            # all window hashes over the concatenation, k strided passes
-            n_win = len(buf) - k + 1
-            all_h = np.zeros(n_win, dtype=np.uint64)
-            for j in range(k):
-                all_h += bu[j:j + n_win] * powers[j]
-            # ragged arange selecting only windows fully inside one doc
-            counts = lens[long_idx] - k + 1
-            ends = np.cumsum(counts)
-            starts = ends - counts
-            pos = (np.repeat(offsets[long_idx], counts)
-                   + np.arange(int(ends[-1])) - np.repeat(starts, counts))
-            hs = all_h[pos] % p
             # per-permutation segmented minima (duplicates don't affect
             # the min, so the per-doc np.unique step is dropped)
             sigs = np.empty((num_hashes, len(long_idx)), dtype=np.int64)

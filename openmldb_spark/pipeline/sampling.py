@@ -46,11 +46,10 @@ _RES = 1_000_000            # threshold resolution: hash mod 1e6
 
 def _splitmix_np(x: np.ndarray) -> np.ndarray:
     """Vectorized splitmix64 over uint64 — the same arithmetic the
-    DuckDB oracles render with HUGEINT mod-2^64 ops."""
-    z = (x + np.uint64(_GOLDEN))
-    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
-    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
-    return z ^ (z >> np.uint64(31))
+    DuckDB oracles render with HUGEINT mod-2^64 ops. Single definition
+    shared with the minhash band hashes (dedup._splitmix_vec)."""
+    from openmldb_spark.pipeline.dedup import _splitmix_vec
+    return _splitmix_vec(x)
 
 
 def split_hash_udf(seed: int):
@@ -125,7 +124,9 @@ def cap_per_key(df: DataFrame, keys: Sequence[str], n: int,
     rows before a self-join instead of salting after).
 
     One hash-partitioned window per key group; the kernel never holds
-    more than a partition. Ties under ``order_col`` break by id hash.
+    more than a partition. Ties under ``order_col`` break by id hash
+    (or, without an id_col, by a whole-row hash) so the kept set is
+    deterministic across runs, partitionings, and AQE replans.
     """
     if order_col is None and id_col is None:
         raise ValueError("need order_col or id_col")
@@ -135,6 +136,11 @@ def cap_per_key(df: DataFrame, keys: Sequence[str], n: int,
     if id_col is not None:
         cols.append(split_hash_udf(seed)(F.col(id_col)).asc())
         cols.append(F.col(id_col).asc())      # total order under ties
+    else:
+        # no id: total order via a whole-row hash — rows equal in every
+        # column are interchangeable, so this is deterministic up to
+        # true duplicates
+        cols.append(F.xxhash64(*[F.col(c) for c in df.columns]).asc())
     w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(*cols)
     return (df.withColumn("__cap_rn", F.row_number().over(w))
             .filter(F.col("__cap_rn") <= n)

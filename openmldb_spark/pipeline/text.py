@@ -35,13 +35,15 @@ _EN_STOPWORDS = ["the", "a", "an", "and", "or", "of", "to", "in", "is",
 
 
 def _tokens(text: Column) -> Column:
-    t = F.trim(text)
+    # NULL-safe: a NULL document tokenizes to [] (token_count 0), never
+    # to a NULL that downstream numpy kernels would read as int64-min.
+    t = F.trim(F.coalesce(text, F.lit("")))
     return F.when(F.length(t) == 0, F.array().cast("array<string>")) \
             .otherwise(F.split(t, r"\s+"))
 
 
 def token_count(text: str | Column = "text") -> Column:
-    """Whitespace token count; empty/blank → 0."""
+    """Whitespace token count; NULL/empty/blank → 0."""
     c = F.col(text) if isinstance(text, str) else text
     return F.size(_tokens(c)).cast("long")
 
@@ -157,7 +159,8 @@ def text_features(df: DataFrame, text_col: str = "text",
     """
     if mode == "kernel":
         return _text_features_kernel(df, text_col, prefix)
-    t = F.col(text_col)
+    # NULL text == "" in both modes (the kernel fillna("")s)
+    t = F.coalesce(F.col(text_col), F.lit(""))
     cc = char_class_counts(t)
     feats = {
         "n_chars": F.length(t).cast("long"),

@@ -1169,7 +1169,9 @@ def run_windowed_sql(sql: str, tables: list[DataFrame]) -> DataFrame:
     return res.limit(limit) if limit is not None else res
 
 
-def _rewrite_typed_casts(t: str, tm: dict[str, str]) -> str:
+def _rewrite_typed_casts(t: str, tm: dict[str, str],
+                         per_table: dict[str, dict[str, str]]
+                         | None = None) -> str:
     """Reference CAST semantics that depend on the ARGUMENT's static
     type (integration_test/expression/test_type.yaml#1/#3/#5 goldens —
     authoritative; the function/ siblings carry the same cases
@@ -1192,8 +1194,14 @@ def _rewrite_typed_casts(t: str, tm: dict[str, str]) -> str:
 
     def repl(m):
         ref, ty = m.group(1), m.group(2).lower()
-        c = re.sub(r"^(?:\{\d+\}|\w+)\.", "", ref).strip("`")
-        ct = tm.get(c, "")
+        qm = re.match(r"^(\{\d+\}|\w+)\.", ref)
+        c = ref[qm.end():].strip("`") if qm else ref.strip("`")
+        # a qualified ref resolves in ITS table's map — a colliding
+        # column name on another join operand must not inject a
+        # different declared type (same hazard class as
+        # _rewrite_table_udafs' per_table, ADVICE r3 #5)
+        src = (per_table or {}).get(qm.group(1)) if qm else None
+        ct = (src if src is not None else tm).get(c, "")
         if ct.startswith("timestamp"):
             if ty in num:
                 return f"CAST(unix_millis({ref}) AS {num[ty]})"
@@ -1419,8 +1427,12 @@ def run_lastjoin_sql(sql: str, tables: list[DataFrame]) -> DataFrame:
         sel_r = [F.col(key_src[an]).alias(an) for an in keys]
         sel_r += [F.col(c).alias(f"__t{ti}_{c}")
                   for c in tables[ti].columns if c != _RID]
-        if _RID in right.columns:
-            sel_r.append(F.col(_RID).alias(f"__jrid{ti}"))
+        # insertion-order id for the no-ORDER-BY fallback and same-ts
+        # tiebreak; tables without the harness _RID get a synthesized
+        # storage-order id (scan order) so the plan still resolves
+        sel_r.append((F.col(_RID) if _RID in right.columns
+                      else F.monotonically_increasing_id())
+                     .alias(f"__jrid{ti}"))
         right2 = right.select(*sel_r)
         if right_ts is not None:
             right_ts = f"__t{ti}_{right_ts}"
@@ -1652,13 +1664,27 @@ def run_join_window_sql(sql: str, tables: list[DataFrame]) -> DataFrame:
             q += f" limit {limit}"
         try:
             return run_windowed_sql(q, [joined])
-        except (AnalysisException, KeyError) as e:
+        except AnalysisException as e:
             # a name that doesn't resolve against the JOINED relation
             # (e.g. subquery-projection aliases — query/
             # last_join_window_query.yaml#5) means this runner mis-fits
             # the shape: hand the statement back to the route chain
             # (subquery lifting) instead of hard-failing
             raise UnsupportedSQL(f"over-join fallback: {e}") from None
+        except KeyError as e:
+            # PySparkKeyError (KEY_NOT_EXISTS etc.) is a NAME lookup
+            # failure at the DataFrame API — same reroute class as
+            # AnalysisException (subquery-projection aliases, yaml#5).
+            # A plain internal dict KeyError only reroutes when its key
+            # is a name the statement references; anything else is a
+            # real bug and must surface, not silently reroute
+            from pyspark.errors import PySparkKeyError
+            k = e.args[0] if e.args else None
+            if isinstance(e, PySparkKeyError) or (
+                    isinstance(k, str)
+                    and re.search(rf"\b{re.escape(k)}\b", q)):
+                raise UnsupportedSQL(f"over-join fallback: {e}") from None
+            raise
 
     # parse select items with table-qualified resolution
     try:
@@ -2635,8 +2661,11 @@ def _parse_lastjoin_chain(from_text: str, tables: list[DataFrame]):
         sel_r = [F.col(key_src[an]).alias(an) for an in keys]
         sel_r += [F.col(c).alias(f"__t{ti}_{c}")
                   for c in tables[ti].columns if c != _RID]
-        if _RID in right.columns:
-            sel_r.append(F.col(_RID).alias(f"__jrid{ti}"))
+        # same synthesized storage-order id as the windowed runner:
+        # no-_RID tables must not leave __jrid{ti} unresolved
+        sel_r.append((F.col(_RID) if _RID in right.columns
+                      else F.monotonically_increasing_id())
+                     .alias(f"__jrid{ti}"))
         right2 = right.select(*sel_r)
         rts = f"__t{ti}_{right_ts}" if right_ts is not None else None
         order_by = f"__t{ti}_{_strip_table(order_ref)}" if order_ref \
@@ -2788,6 +2817,14 @@ def run_general_sql(spark, sql: str, tables: list[DataFrame],
         final = re.sub(r"\{(\d+)\}\.(\w+)", sub_ref, final)
         tm = _type_map(joined.schema)
         _strict_reject(final, tm)
+        # reference CAST semantics over the joined relation — names are
+        # already per-table (__t{i}_ prefixes), so the map is
+        # collision-free here; bare right-column refs (rewritten to
+        # their prefixed names only later, in rewrite_expr) resolve
+        # through bare_map
+        tm_cast = {**tm, **{b: tm[p] for b, p in bare_map.items()
+                            if p in tm}}
+        final = _rewrite_typed_casts(final, tm_cast)
         final = rewrite_expr(final, bare_map)
         final = _wrap_compare_operands(final, tm)
         final = _wrap_not_truthiness(final, tm)
@@ -2812,7 +2849,10 @@ def run_general_sql(spark, sql: str, tables: list[DataFrame],
     for i, t in enumerate(tables):
         tm_all.update(_type_map(t.select(
             *[c for c in t.columns if c != _RID]).schema))
-    s2 = _rewrite_typed_casts(s2, tm_all)
+    s2 = _rewrite_typed_casts(
+        s2, tm_all,
+        per_table={f"__t{i}": _type_map(tdf.schema)
+                   for i, tdf in enumerate(tables)})
     s2 = rewrite_expr(s2)
     s2 = _wrap_compare_operands(s2, tm_all)
     s2 = _wrap_not_truthiness(s2, tm_all)

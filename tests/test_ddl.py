@@ -152,3 +152,23 @@ def test_ttl_filter_modes(spark):
     # absandlat: expire only when old AND beyond count — id 2 is old
     # but within the 2 newest, id 1 is old AND third-newest -> expired
     assert ids(base % "(1s,2), ttl_type=absandlat", 3500) == [2, 3, 4]
+
+
+def test_ttl_filter_latest_without_ts(spark):
+    # latest-k on an index with NO ts column: storage (insertion)
+    # order — the reference accepts `index(key=.., ttl=1,
+    # ttl_type=latest)` with no ts (fz_ddl luoji reqId index)
+    rows = [("a", 1), ("a", 2), ("a", 3), ("b", 4)]
+    df = spark.createDataFrame(rows, "k string, id int").coalesce(1)
+    td = parse_create_table(
+        "create table t (k string, id int, "
+        "index(key=k, ttl=1, ttl_type=latest))")
+    assert td.indexes[0].ts is None
+    out = ttl_filter(df, td.indexes[0])
+    assert sorted(r.id for r in out.collect()) == [3, 4]
+    # time-based TTL without a ts column is a clear DDLError, not a
+    # PySpark type error deep in the plan
+    td2 = parse_create_table(
+        "create table t (k string, id int, index(key=k, ttl=5m))")
+    with pytest.raises(DDLError, match="ts column"):
+        ttl_filter(df, td2.indexes[0], now_ms=1000)

@@ -544,6 +544,37 @@ def test_pack_offsets_prefix_sum_and_invariance(spark, docs_df):
     assert list(out2.tok_start) == list(out.tok_start)
 
 
+def test_pack_offsets_null_text_is_zero_tokens(spark):
+    # NULL text must count 0 tokens, not NaN -> int64-min through the
+    # numpy cast (and must not shift later docs' offsets)
+    from openmldb_spark.pipeline.packing import pack_offsets
+    df = spark.createDataFrame(
+        [(1, "hello world"), (2, None), (3, "a b c")],
+        "doc_id int, text string")
+    out = pack_offsets(df, chunk_tokens=4, num_partitions=2) \
+        .toPandas().sort_values("doc_id").reset_index(drop=True)
+    assert list(out.n_tokens) == [2, 0, 3]
+    assert list(out.tok_start) == [0, 2, 2]
+    assert list(out.chunk_first) == [0, 0, 0]
+    assert list(out.chunk_last) == [0, 0, 1]
+
+
+def test_text_features_null_text_modes_agree(spark):
+    from openmldb_spark.pipeline.text import text_features
+    df = spark.createDataFrame(
+        [(1, "the cat sat"), (2, None), (3, "")],
+        "doc_id int, text string")
+    cols = ["doc_id", "n_chars", "n_tokens", "n_wordpieces",
+            "stopword_ratio", "lang_guess", "quality_score"]
+    k = text_features(df, mode="kernel").select(cols) \
+        .toPandas().sort_values("doc_id").reset_index(drop=True)
+    e = text_features(df, mode="expr").select(cols) \
+        .toPandas().sort_values("doc_id").reset_index(drop=True)
+    assert list(k.n_tokens) == [3, 0, 0] == list(e.n_tokens)
+    import pandas.testing as pdt
+    pdt.assert_frame_equal(k, e, check_dtype=False)
+
+
 # ---------------------------------------------------------------------------
 # connected components over dup pairs (large-star / small-star)
 
