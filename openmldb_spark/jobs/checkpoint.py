@@ -78,6 +78,40 @@ def _hash_value(h, v, seen: set) -> None:
                 h.update(b"<empty-cell>")
         for d in (v.__defaults__ or ()):
             _hash_value(h, d, seen)
+        # referenced globals BY VALUE, not just name: a stage reading a
+        # module-level constant (THRESHOLD = 5) must invalidate when
+        # the constant is edited — globals are looked up at call time,
+        # so co_names alone can't see the change. Same-module helper
+        # functions recurse structurally (their edits invalidate too);
+        # foreign functions/classes/modules hash by qualname so the
+        # fingerprint stays stable across processes and library
+        # versions don't churn every checkpoint.
+        g = v.__globals__
+        for name in sorted(_code_names(v.__code__)):
+            if name not in g:
+                continue
+            gv = g[name]
+            h.update(f"<g:{name}>".encode())
+            if isinstance(gv, types.ModuleType):
+                h.update(gv.__name__.encode())
+            elif isinstance(gv, type):
+                h.update(f"{gv.__module__}.{gv.__qualname__}".encode())
+            elif isinstance(gv, types.FunctionType):
+                if gv.__module__ == v.__module__:
+                    _hash_value(h, gv, seen)
+                else:
+                    h.update(
+                        f"{gv.__module__}.{gv.__qualname__}".encode())
+            elif isinstance(gv, (int, float, str, bytes, bool,
+                                 type(None), tuple, frozenset)):
+                # IMMUTABLE values hash by content (the THRESHOLD=5
+                # edit case); mutable containers hash by type only —
+                # a stage mutating a module-level counter/cache at run
+                # time must not churn its own fingerprint and defeat
+                # resume
+                _hash_value(h, gv, seen)
+            else:
+                h.update(type(gv).__name__.encode())
     elif isinstance(v, (tuple, list, frozenset)):
         h.update(b"<seq>")
         items = sorted(map(repr, v)) if isinstance(v, frozenset) else v
@@ -96,14 +130,36 @@ def _hash_value(h, v, seen: set) -> None:
         h.update(_re.sub(r" at 0x[0-9a-fA-F]+", "", repr(v)).encode())
 
 
+def _code_names(code) -> set:
+    """Every global name referenced by a code object or any code object
+    nested inside it (inner defs, lambdas, comprehensions)."""
+    import types
+    names = set(code.co_names)
+    for c in code.co_consts:
+        if isinstance(c, types.CodeType):
+            names |= _code_names(c)
+    return names
+
+
 def _code_fp(fn: Callable) -> str:
     """Content fingerprint of a stage function: bytecode + consts +
-    referenced names + closure values + defaults — so editing the stage
-    body (or a captured parameter) invalidates its checkpoint. Nested
-    code objects (inner defs, lambdas) and function-valued closures are
-    hashed structurally, never by repr, so the fingerprint is stable
-    across processes and sensitive to their edits."""
+    referenced names + closure values + defaults + referenced global
+    VALUES — so editing the stage body, a captured parameter, or a
+    module-level constant the stage reads invalidates its checkpoint.
+    Nested code objects (inner defs, lambdas) and function-valued
+    closures/globals are hashed structurally, never by repr, so the
+    fingerprint is stable across processes and sensitive to edits."""
+    import functools
     h = hashlib.sha256()
+    if isinstance(fn, functools.partial):
+        # structural: partial(<fn at 0x...>) repr embeds a per-process
+        # address — hashing it would recompute every stage on every
+        # resume
+        h.update(b"<partial>")
+        _hash_value(h, fn.func, set())
+        _hash_value(h, fn.args, set())
+        _hash_value(h, fn.keywords, set())
+        return h.hexdigest()[:16]
     try:
         fn.__code__
         _hash_value(h, fn, set())
@@ -112,7 +168,9 @@ def _code_fp(fn: Callable) -> str:
             import inspect
             h.update(inspect.getsource(fn).encode())
         except Exception:                   # pragma: no cover
-            h.update(repr(fn).encode())
+            import re as _re
+            h.update(_re.sub(r" at 0x[0-9a-fA-F]+", "",
+                             repr(fn)).encode())
     return h.hexdigest()[:16]
 
 

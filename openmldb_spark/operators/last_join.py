@@ -105,6 +105,16 @@ def last_join(
             strategy = "join_rank"
 
     if strategy == "sort_merge":
+        # the explicit strategy enforces the same preconditions the
+        # auto route checks — sort_merge orders by right_ts ascending
+        # and would silently ignore a different order_by / descending
+        if not pit:
+            raise ValueError("strategy='sort_merge' requires left_ts "
+                             "and right_ts")
+        if extra_cond is not None or order_by != right_ts or descending:
+            raise ValueError("strategy='sort_merge' supports only "
+                             "ascending order_by == right_ts with no "
+                             "residual condition; use join_rank")
         return _sort_merge_asof(left, right, keys, left_ts, right_ts,
                                 tiebreak, out_name)
     return _join_rank(left, right, keys, order_by, pit, left_ts, right_ts,
@@ -121,6 +131,11 @@ def _sort_merge_asof(left: DataFrame, right: DataFrame, keys: list[str],
     ``last(ignorenulls=True)`` forward-fills every right column at once.
     """
     payload_cols = [c for c in right.columns if c not in keys]
+    # NULL order keys lose everywhere in the engine: a NULL-ts build
+    # row must not sort first and forward-fill onto probes that have no
+    # real match (join_rank excludes it via right_ts <= left_ts being
+    # NULL; the strategies must agree)
+    right = right.filter(F.col(right_ts).isNotNull())
     build = right.select(
         *[F.col(k) for k in keys],
         F.col(right_ts).alias(_ORD),
@@ -194,7 +209,9 @@ def _join_rank(left: DataFrame, right: DataFrame, keys: list[str],
     if extra_cond is not None:
         cond = extra_cond if cond is None else (cond & extra_cond)
     joined = l.join(r, cond, "left")
-    ord_col = rc(order_by).asc_nulls_first() if descending \
+    # NULL order values LOSE in both directions (a matched right row
+    # with a NULL order key must never outrank a real match)
+    ord_col = rc(order_by).asc_nulls_last() if descending \
         else rc(order_by).desc_nulls_last()
     tie = (rc(tiebreak).desc_nulls_last() if tiebreak else F.lit(0).asc())
     w = Window.partitionBy(_ROW_ID).orderBy(ord_col, tie)

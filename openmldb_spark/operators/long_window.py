@@ -77,7 +77,11 @@ def _running_difference(df: DataFrame, keys: list[str], order_by: str,
 
     cols = [F.col(c) for c in df.columns]
     for a in aggs:
-        target = F.col(a.col)
+        # count(*) / count_where(*): col=None counts rows, same as
+        # window_agg's contract
+        if a.col is None and not a.fn.startswith("count"):
+            raise ValueError(f"{a.fn} requires a column")
+        target = F.lit(1) if a.col is None else F.col(a.col)
         if a.cond:
             target = F.when(F.expr(a.cond), target)
         base = a.fn.split("_")[0]
@@ -248,8 +252,10 @@ def long_window_agg_backfill(probe: DataFrame, partials: DataFrame,
 
     out = (p.join(full, on=rid, how="left")
             .join(edge, on=rid, how="left"))
-    sel = [F.col(c) for c in probe.columns] \
-        + ([F.col(rid)] if probe_id is None else [])
+    # output schema = probe columns + agg names; the synthesized
+    # internal row id must not leak (a caller-supplied probe_id is a
+    # probe column already)
+    sel = [F.col(c) for c in probe.columns]
     z = F.lit(0)
     for a in aggs:
         c = a.col

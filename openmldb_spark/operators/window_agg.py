@@ -279,8 +279,15 @@ def _native_expr(a: Agg, w, w_unb, dtypes: dict[str, str] | None = None) -> Colu
         # test_udaf_function.yaml#46/#59); `or 1` would coerce 0 to 1
         return F.lag(c, a.n if a.n is not None else 1).over(w_unb)
     elif a.fn == "top":
-        return F.concat_ws(",", F.slice(
-            F.sort_array(F.collect_list(c).over(w), asc=False), 1, a.n or 1))
+        # value rendering follows v1::format_string (udf.cc:1267-1274:
+        # float/double %f, integrals plain) so the native and kernel
+        # paths emit identical strings for the same logical query
+        vals = F.slice(
+            F.sort_array(F.collect_list(c).over(w), asc=False),
+            1, a.n if a.n is not None else 1)
+        if (dtypes or {}).get(a.col, "") in ("float", "double"):
+            vals = F.transform(vals, lambda x: F.format_string("%f", x))
+        return F.concat_ws(",", vals)
     else:
         raise ValueError(f"agg fn {a.fn!r} not available on the native path")
     return e.over(w)
@@ -1106,7 +1113,9 @@ class _SlidingMultiset:
                 xs.extend([v] * take)
                 if len(xs) >= k:
                     break
-            return ",".join(_fmt_num(x) if isinstance(x, (int, float))
+            # declared-type rendering (v1::format_string, udf.cc:1267):
+            # float/double %f, integrals plain — matches the native path
+            return ",".join(self.val_fmt(x) if isinstance(x, (int, float))
                             else str(x) for x in xs)
         if fn == "top1_ratio":
             # empty frame / all-null input -> 0, not NULL (golden
@@ -1336,6 +1345,15 @@ def multi_window_agg(df: DataFrame,
     # executor loss), else localCheckpoint (executor loss fails the job
     # loudly instead of corrupting it). The reference pins its
     # concat-join id the same way — at the LCA, computed exactly once.
+    # reference semantics (WindowAggPlan.scala:784-791): NULL order keys
+    # drop — applied ONCE over every window's order column so the
+    # native branch matches both single-window window_agg (which
+    # filters) and the kernel branch (whose inner window_agg would
+    # otherwise drop rows the native select kept, mispairing the zip
+    # and leaving NULL-ts rows occupying other rows' ROWS-frame slots)
+    for oc in {spec.order_by for spec, _ in windows}:
+        df = df.filter(F.col(oc).isNotNull())
+
     rid = "__omls_rid"
     if kernel:
         base = df.withColumn(rid, F.monotonically_increasing_id())
@@ -1370,8 +1388,7 @@ def multi_window_agg(df: DataFrame,
             "tiebreak": list(spec.tiebreak) + [rid]})
         res = window_agg(base, spec2, aggs, skew=skew)
         res = res.select(rid, *[a.name for a in aggs])
-        # NULL-order-key rows are dropped inside window_agg (reference
-        # semantics) and therefore come back with NULL aggs here
+        # NULL order keys were dropped up front, so this zip is 1:1
         out = out.join(res, on=rid, how="left")
     return out.drop(rid) if kernel else out
 

@@ -74,7 +74,10 @@ def _apply_aggs(aggs, g, fr, i, row, buf_js=None):
         elif fn == "top":
             k = extra or 1
             xs = sorted(nn, reverse=True)[:k]
-            row[name] = ",".join(_fmt(x) for x in xs)
+            # v1::format_string: float/double render %f (6 decimals)
+            row[name] = ",".join(
+                f"{x:.6f}" if isinstance(x, float) else str(x)
+                for x in xs)
         elif fn == "topn_frequency":
             # FeatureZero semantics (goldens #4): NULL rows count under
             # "NULL", floats %.6f, pad to n with "NULL"; empty -> ""

@@ -55,7 +55,102 @@ def test_csv_roundtrip_keeps_row_matching_header_token(spark, tmp_path):
     assert got == [("c1", 1), ("x", 2)]
 
 
+# ------------------------------------- checkpoint fingerprint contracts
+
+def test_code_fp_sees_module_constants_and_partials():
+    """Editing a module-level constant a stage reads must invalidate its
+    checkpoint; functools.partial stages must fingerprint stably across
+    processes (no memory addresses) yet stay arg-sensitive."""
+    import functools
+
+    from openmldb_spark.jobs.checkpoint import _code_fp
+
+    ns1, ns2 = {"__name__": "m"}, {"__name__": "m"}
+    exec("THRESHOLD = 5\ndef f(x):\n    return x + THRESHOLD\n", ns1)
+    exec("THRESHOLD = 10\ndef f(x):\n    return x + THRESHOLD\n", ns2)
+    assert _code_fp(ns1["f"]) != _code_fp(ns2["f"])
+    assert _code_fp(ns1["f"]) == _code_fp(ns1["f"])
+
+    ns3, ns4 = {"__name__": "m"}, {"__name__": "m"}
+    exec("def h(x):\n    return x * 2\ndef g(x):\n    return h(x)\n", ns3)
+    exec("def h(x):\n    return x * 3\ndef g(x):\n    return h(x)\n", ns4)
+    assert _code_fp(ns3["g"]) != _code_fp(ns4["g"])
+
+    def build(df, cfg):
+        return cfg
+    assert _code_fp(functools.partial(build, cfg=5)) \
+        == _code_fp(functools.partial(build, cfg=5))
+    assert _code_fp(functools.partial(build, cfg=5)) \
+        != _code_fp(functools.partial(build, cfg=6))
+
+
 # -------------------------------------------- 3. cap_per_key total order
+
+def test_top_formatting_native_kernel_agree(spark):
+    """top() renders doubles identically on both execution paths —
+    v1::format_string %f (reference udf.cc:1267-1274) — so adding
+    MAXSIZE to a spec can never change the string payload."""
+    from openmldb_spark import Agg, WindowSpecFE, window_agg
+
+    df = spark.createDataFrame(
+        [("a", 1, 2.0), ("a", 2, 3.5)], "k string, ts long, v double")
+    native = WindowSpecFE(["k"], "ts", frame="range", start=10, end=0,
+                          peer="sql")
+    kernel = WindowSpecFE(["k"], "ts", frame="range", start=10, end=0,
+                          maxsize=10)
+    n = {r.ts: r.t for r in
+         window_agg(df, native, [Agg("t", "top", "v", n=2)]).collect()}
+    k = {r.ts: r.t for r in
+         window_agg(df, kernel, [Agg("t", "top", "v", n=2)]).collect()}
+    assert n == k == {1: "2.000000", 2: "3.500000,2.000000"}
+
+
+def test_last_join_null_order_keys_lose(spark):
+    """A matched right row with a NULL order value must never outrank a
+    real match (either strategy, either direction)."""
+    from openmldb_spark import last_join
+
+    left = spark.createDataFrame([(1, 5)], "k int, ts long")
+    right = spark.createDataFrame(
+        [(1, None, "nullrow"), (1, 3, "real")], "k int, ts long, v string")
+    sm = last_join(left, right, on="k", order_by="ts",
+                   left_ts="ts", right_ts="ts").collect()
+    jr = last_join(left, right, on="k", order_by="ts", left_ts="ts",
+                   right_ts="ts", strategy="join_rank").collect()
+    assert sm[0].v == jr[0].v == "real"
+    desc = last_join(left, right, on="k", order_by="ts",
+                     strategy="join_rank", descending=True).collect()
+    assert desc[0].v == "real"
+
+
+def test_multi_window_drops_null_order_rows(spark):
+    """multi_window_agg emits the same row set as window_agg: rows with
+    a NULL order key drop (and never occupy other rows' ROWS frames)."""
+    from openmldb_spark import Agg, WindowSpecFE
+    from openmldb_spark.operators.window_agg import multi_window_agg
+
+    df = spark.createDataFrame(
+        [("a", None, 100), ("a", 1, 1), ("a", 2, 2)],
+        "k string, ts long, v int")
+    spec = WindowSpecFE(["k"], "ts", frame="rows", start=1, end=0,
+                        peer="sql")
+    out = multi_window_agg(df, [(spec, [Agg("s", "sum", "v")])]) \
+        .toPandas().sort_values("ts").reset_index(drop=True)
+    assert list(out.ts) == [1, 2]          # NULL-ts row dropped
+    assert list(out.s) == [1, 3]           # and absent from frames
+
+
+def test_long_window_count_star(spark):
+    from openmldb_spark import Agg
+    from openmldb_spark.operators.long_window import long_window_agg
+
+    df = spark.createDataFrame(
+        [("a", 1000, 1.0), ("a", 2000, 2.0), ("a", 12000, 3.0)],
+        "k string, ts long, v double")
+    out = long_window_agg(df, ["k"], "ts", 10_000, [Agg("c", "count")]) \
+        .toPandas().sort_values("ts")
+    assert list(out.c) == [1, 2, 2]        # 12000 sees [2000, 12000]
+
 
 def test_cap_per_key_deterministic_under_ties(spark):
     """order_col ties without an id_col must still produce a
