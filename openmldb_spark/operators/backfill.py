@@ -30,6 +30,10 @@ def ffill(df: DataFrame, cols: str | Sequence[str],
     row (leakage-free: only reads the past)."""
     keys = [partition_by] if isinstance(partition_by, str) else list(partition_by)
     cols = [cols] if isinstance(cols, str) else list(cols)
+    # engine-wide rule (window_agg, sessionize): NULL order keys drop —
+    # a NULL-ts row would otherwise sort FIRST and seed the fill for
+    # every real row in its partition with a time-meaningless value
+    df = df.filter(F.col(order_by).isNotNull())
     w = _w(df, keys, order_by, tiebreak).rowsBetween(
         Window.unboundedPreceding, 0)
     out = df
@@ -45,6 +49,7 @@ def bfill(df: DataFrame, cols: str | Sequence[str],
     offline label construction only)."""
     keys = [partition_by] if isinstance(partition_by, str) else list(partition_by)
     cols = [cols] if isinstance(cols, str) else list(cols)
+    df = df.filter(F.col(order_by).isNotNull())   # NULL order keys drop
     w = _w(df, keys, order_by, tiebreak).rowsBetween(
         0, Window.unboundedFollowing)
     out = df

@@ -47,8 +47,13 @@ def time_live(df: DataFrame, ts_col: str, ttl_ms: int,
     if now_ms is None:
         if lazy:
             mx = df.agg(F.max(ord_ms).alias("__ttl_max"))
+            # NULL max (empty / all-NULL ts) keeps every row — the
+            # eager branch's `mx is None` semantics; without the guard
+            # the NULL comparison would drop the whole table
             return (df.crossJoin(F.broadcast(mx))
-                      .filter(ord_ms >= F.col("__ttl_max") - F.lit(ttl_ms))
+                      .filter(F.col("__ttl_max").isNull()
+                              | (ord_ms >= F.col("__ttl_max")
+                                 - F.lit(ttl_ms)))
                       .drop("__ttl_max"))
         mx = df.agg(F.max(ord_ms).alias("m")).collect()[0]["m"]
         if mx is None:

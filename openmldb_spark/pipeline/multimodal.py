@@ -105,6 +105,8 @@ def sample_video_frames(df: DataFrame, id_col: str, payload_col: str,
     """Frame-sampling plumbing: one output row per sampled frame with a
     frame index and pseudo frame-features. STUB decoder (see module doc);
     the explode/partitioning shape is real."""
+    if decode_stub not in ("fake", "raise"):
+        raise ValueError("decode_stub must be 'fake' or 'raise'")
     out_schema = T.StructType([
         T.StructField(id_col, df.schema[id_col].dataType),
         T.StructField("frame_idx", T.IntegerType()),

@@ -46,7 +46,10 @@ def _norm(a: Column) -> Column:
 
 
 def _cosine(a: Column, b: Column) -> Column:
-    return _dot(a, b) / (_norm(a) * _norm(b))
+    # zero-norm vectors have no direction: cosine is NULL, never a
+    # NaN that Spark's desc sort would rank above every real value
+    den = _norm(a) * _norm(b)
+    return F.when(den != 0, _dot(a, b) / den)
 
 
 def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int,
@@ -68,7 +71,10 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int,
         raise ValueError("empty query set")
     qids = np.array([r[0] for r in q_rows])
     qm = np.stack([np.asarray(r[1], dtype=np.float64) for r in q_rows])
-    qm = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+    qn = np.linalg.norm(qm, axis=1, keepdims=True)
+    # zero-norm -> all-zero unit row -> cosine 0 (not NaN, which would
+    # outrank every real cosine in Spark's desc ordering)
+    qm = qm / np.where(qn == 0, np.inf, qn)
     spark = corpus.sparkSession
     bc = spark.sparkContext.broadcast((qids, qm))
 
@@ -83,7 +89,8 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int,
                 continue
             cm = np.stack([np.asarray(v, dtype=np.float64)
                            for v in pdf[vec_col]])
-            cm = cm / np.linalg.norm(cm, axis=1, keepdims=True)
+            cn = np.linalg.norm(cm, axis=1, keepdims=True)
+            cm = cm / np.where(cn == 0, np.inf, cn)   # zero-norm -> 0
             sims = cm @ b_qm.T                        # (n, q)
             nids = pdf[id_col].to_numpy()
             out_q, out_n, out_s = [], [], []
@@ -150,12 +157,27 @@ def hyperplane_bucket_udf(num_planes: int, seed: int):
     """
     from pyspark.sql.functions import pandas_udf
 
+    if not 1 <= num_planes <= 31:
+        # bucket ids are int32 and multiprobe flips single bits with
+        # (1 << p) int literals; 32+ planes would silently wrap the
+        # bucket id and collapse recall
+        raise ValueError(f"num_planes must be in [1, 31], got "
+                         f"{num_planes}")
+
+    pm_cache: dict[int, np.ndarray] = {}
+
     @pandas_udf("int")
     def bucket(vecs: pd.Series) -> pd.Series:
         if len(vecs) == 0:
             return pd.Series([], dtype="int32")
         v = np.stack([np.asarray(x, dtype=np.float64) for x in vecs])
-        pm = plane_matrix(num_planes, v.shape[1], seed)
+        # the plane matrix is deterministic in (num_planes, dim, seed);
+        # build it once per executor, not once per Arrow batch (the
+        # pure-Python splitmix fill is O(planes x dim) Python calls)
+        pm = pm_cache.get(v.shape[1])
+        if pm is None:
+            pm = pm_cache[v.shape[1]] = plane_matrix(
+                num_planes, v.shape[1], seed)
         acc = np.zeros((len(vecs), num_planes))
         for j in range(v.shape[1]):
             acc += v[:, j:j + 1] * pm[:, j]
@@ -178,7 +200,11 @@ def cosine_pairs_udf():
         bm = np.stack([np.asarray(x, dtype=np.float64) for x in b])
         num = (am * bm).sum(axis=1)
         den = np.linalg.norm(am, axis=1) * np.linalg.norm(bm, axis=1)
-        return pd.Series(num / den)
+        # zero-norm pairs score 0, not NaN (NaN sorts ABOVE all reals
+        # in Spark desc ordering and would hijack every top-k)
+        return pd.Series(np.divide(num, den,
+                                   out=np.zeros_like(num),
+                                   where=den != 0))
 
     return cos
 

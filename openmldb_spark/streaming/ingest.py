@@ -36,7 +36,15 @@ def stream_ingest(stream_df: DataFrame, warehouse, table: str,
     """
     s = stream_df.withWatermark(ts_col, watermark)
     if dedup_keys:
-        s = s.dropDuplicates(dedup_keys)
+        # state must be watermark-bounded or the dedup store grows one
+        # entry per distinct key FOREVER: dropDuplicatesWithinWatermark
+        # evicts expired keys (Spark 3.5+); on older Spark the
+        # event-time column must be part of the dedup key for eviction
+        # to apply
+        if hasattr(s, "dropDuplicatesWithinWatermark"):
+            s = s.dropDuplicatesWithinWatermark(dedup_keys)
+        else:                                       # pragma: no cover
+            s = s.dropDuplicates(list(dedup_keys) + [ts_col])
 
     def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():

@@ -116,10 +116,12 @@ def streaming_rolling_features(
     # boundary (ADVICE r3 low #1)
     ktypes = {f.name: f.dataType.simpleString()
               for f in stream_df.schema.fields}
+    # the id column keeps its input type too — a string/uuid id must
+    # not be force-cast to long at the state boundary
     out_schema = (
         ", ".join(f"{k} {ktypes[k]}" for k in keys)
-        + f", {id_col} long, {ts_col} long, cnt long, sum double,"
-          f" avg double, min double, max double"
+        + f", {id_col} {ktypes[id_col]}, {ts_col} long, cnt long,"
+          f" sum double, avg double, min double, max double"
     )
     state_schema = "ts array<long>, v array<double>"
     agg_cols = ["cnt", "sum", "avg", "min", "max"]
@@ -128,7 +130,7 @@ def streaming_rolling_features(
     def emit(key: tuple, ids: np.ndarray, ts: np.ndarray,
              cnt: np.ndarray, s: np.ndarray, mn: np.ndarray,
              mx: np.ndarray) -> pd.DataFrame:
-        df = pd.DataFrame({id_col: ids.astype(np.int64),
+        df = pd.DataFrame({id_col: ids,
                            ts_col: ts.astype(np.int64)})
         for k, v in zip(keys, key):
             df[k] = v
@@ -190,17 +192,25 @@ def streaming_rolling_features(
         else:
             b_ts = np.empty(0, dtype=np.int64)
             b_v = np.empty(0, dtype=np.float64)
-        for pdf in pdfs:
+        # one sort over the WHOLE group, not per Arrow chunk: a group
+        # larger than maxRecordsPerBatch arrives as several pdfs, and
+        # per-chunk sorting would process chunk 2's earlier events
+        # after chunk 1's later ones
+        chunks = [p for p in pdfs if len(p)]
+        if chunks:
+            pdf = (pd.concat(chunks, ignore_index=True)
+                   if len(chunks) > 1 else chunks[0])
             pdf = pdf.sort_values([ts_col, id_col])
             e_ts = pdf[ts_col].to_numpy(np.int64)
-            e_id = pdf[id_col].to_numpy(np.int64)
+            e_id = pdf[id_col].to_numpy()
             e_v = pdf[value_col].to_numpy(np.float64)
-            if len(e_ts) == 0:
-                continue
-            if len(b_ts) == 0 or b_ts[-1] <= e_ts[0]:
-                # buffer carried from prior batches is ascending; batch
-                # is sorted — the concat is ascending iff they don't
-                # interleave (the in-order contract)
+            # the fast path needs buffer+batch to be ONE ascending
+            # sequence; a prior out-of-order batch can leave a
+            # non-ascending buffer (slow_path keeps insertion order —
+            # the OpenMLDB buffered-rows semantics), so ascending-ness
+            # is checked, not assumed
+            b_asc = len(b_ts) < 2 or bool((np.diff(b_ts) >= 0).all())
+            if b_asc and (len(b_ts) == 0 or b_ts[-1] <= e_ts[0]):
                 out, b_ts, b_v = fast_path(key, b_ts, b_v,
                                            e_ts, e_id, e_v)
             else:

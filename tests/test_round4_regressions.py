@@ -55,6 +55,94 @@ def test_csv_roundtrip_keeps_row_matching_header_token(spark, tmp_path):
     assert got == [("c1", 1), ("x", 2)]
 
 
+# --------------------------------------------- NULL/zero-input hygiene
+
+def test_zero_norm_vectors_never_hijack_topk(spark):
+    """A zero-norm embedding scores cosine 0 (not NaN, which Spark's
+    desc sort ranks above every real double)."""
+    from openmldb_spark.pipeline.similarity import brute_force_topk
+
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [0.0, 0.0])],
+        "vec_id int, embedding array<double>")
+    q = spark.createDataFrame([(1, [1.0, 0.0])],
+                              "vec_id int, embedding array<double>")
+    out = brute_force_topk(corpus, q, k=2).toPandas()
+    assert list(out.neighbor_id) == [2, 3]
+    assert out.cosine.iloc[1] == 0.0          # zero vector scores 0
+
+
+def test_lsh_num_planes_validated(spark):
+    from openmldb_spark.pipeline.similarity import hyperplane_bucket_udf
+    with pytest.raises(ValueError, match=r"\[1, 31\]"):
+        hyperplane_bucket_udf(32, seed=1)
+
+
+def test_time_live_lazy_eager_agree_on_all_null(spark):
+    from openmldb_spark.operators.ttl import time_live
+
+    df = spark.createDataFrame([("a", None), ("b", None)],
+                               "k string, ts long")
+    lazy = time_live(df, "ts", 1000, lazy=True).count()
+    eager = time_live(df, "ts", 1000, lazy=False).count()
+    assert lazy == eager == 2
+
+
+def test_ffill_drops_null_order_rows(spark):
+    """A NULL-ts row must not seed the forward fill (engine-wide NULL
+    order-key rule)."""
+    from openmldb_spark.operators.backfill import ffill
+
+    df = spark.createDataFrame(
+        [("a", None, 5.0), ("a", 1, None), ("a", 2, 7.0)],
+        "k string, ts long, x double")
+    out = ffill(df, "x", "k", "ts").toPandas().sort_values("ts")
+    assert list(out.ts) == [1, 2]
+    assert out.x.iloc[0] is None or pd.isna(out.x.iloc[0])
+
+
+def test_streaming_buffer_survives_out_of_order(spark, tmp_path):
+    """After a late batch leaves a non-ascending state buffer, the next
+    in-order batch must NOT take the ascending fast path over unsorted
+    timestamps (sequential buffered-rows semantics: the late row stays
+    buffered behind the newer one and still counts)."""
+    from pyspark.sql import types as T
+    from openmldb_spark.streaming.stateful import (
+        streaming_rolling_features)
+
+    src = str(tmp_path / "src")
+    sschema = T.StructType([
+        T.StructField("k", T.StringType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("v", T.DoubleType()),
+    ])
+    # batch 1 in order; batch 2 is a LATE event -> slow path leaves the
+    # non-ascending buffer [100k, 50k]
+    spark.createDataFrame([("a", 100_000, 1, 1.0)], sschema) \
+        .coalesce(1).write.parquet(src + "/b1")
+    stream = spark.readStream.schema(sschema) \
+        .option("maxFilesPerTrigger", "1").parquet(src + "/*")
+    out = streaming_rolling_features(
+        stream, ["k"], "ts", "v", window_ms=60_000, id_col="event_id")
+    q = (out.writeStream.outputMode("append")
+         .format("memory").queryName("ooo").start())
+    q.processAllAvailable()
+    spark.createDataFrame([("a", 50_000, 0, 1.0)], sschema) \
+        .coalesce(1).write.parquet(src + "/b2")
+    q.processAllAvailable()
+    # batch 3 in order: the ascending fast path over the unsorted
+    # buffer would see only rows after searchsorted's broken boundary
+    # (cnt=1); sequential buffered-rows semantics see all three
+    spark.createDataFrame([("a", 120_000, 2, 1.0)], sschema) \
+        .coalesce(1).write.parquet(src + "/b3")
+    q.processAllAvailable()
+    q.stop()
+    got = spark.table("ooo").toPandas() \
+        .sort_values("event_id").cnt.astype(int).tolist()
+    assert got[-1] == 3
+
+
 # ------------------------------------- checkpoint fingerprint contracts
 
 def test_code_fp_sees_module_constants_and_partials():
