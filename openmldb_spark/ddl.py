@@ -114,6 +114,7 @@ class TableDef:
     partition_num: int = 8
     replica_num: int = 3
     options: dict = field(default_factory=dict)
+    if_not_exists: bool = False
 
     def column(self, name: str) -> ColumnDef:
         for c in self.columns:
@@ -389,10 +390,11 @@ def parse_create_table(sql: str, existing=(),
     generation)."""
     cluster = cluster or ClusterSpec()
     s = " ".join(str(sql).split()).rstrip(";").strip()
-    m = re.match(r"(?is)^create\s+table\s+(?:if\s+not\s+exists\s+)?"
+    m = re.match(r"(?is)^create\s+table\s+(if\s+not\s+exists\s+)?"
                  r"(\S+?)\s*\(", s)
     if not m:
         raise DDLError(f"unparseable CREATE TABLE {s[:80]!r}")
+    if_not_exists = bool(m.group(1))
     # balanced column-list span (an OPTIONS clause may follow)
     i = m.end() - 1
     depth, j = 0, i
@@ -413,12 +415,15 @@ def parse_create_table(sql: str, existing=(),
         if not om:
             raise DDLError(f"trailing tokens after column list: "
                            f"{rest[:40]!r}")
-    name = _ident(m.group(1), "table")
-    if name in set(existing):
+    name = _ident(m.group(2), "table")
+    if name in set(existing) and not if_not_exists:
+        # IF NOT EXISTS on an existing table is the SQL-standard silent
+        # no-op, not an error; callers check td.if_not_exists to skip
         raise DDLError(f"table {name} already exists")
     tdef = TableDef(name=name,
                     partition_num=cluster.default_partitions,
-                    replica_num=cluster.default_replicas)
+                    replica_num=cluster.default_replicas,
+                    if_not_exists=if_not_exists)
     index_bodies = []
     for item in _split_top(body):
         im = re.match(r"(?is)^index\s*\((.*)\)$", item.strip())
@@ -553,6 +558,19 @@ def ttl_filter(df, index: IndexDef, now_ms: int | None = None,
     if index.ts is None:
         raise DDLError("time-based TTL requires a ts column on the "
                        f"index over {index.keys}")
-    return time_and_count_live(df, index.keys, index.ts, abs_ms or 0,
-                               lat or 0, now_ms=now_ms,
+    # a ZERO slot means UNLIMITED for that dimension (storage/table.h:
+    # ttl 0 = no expiry), not an active 0-length filter:
+    # - absorlat (expire when old OR beyond count): the zero dimension
+    #   can never expire a row, so only the other filter applies
+    # - absandlat (expire when old AND beyond count): the zero
+    #   dimension makes the conjunction always false — nothing expires
+    if not abs_ms or not lat:
+        if index.ttl_type == "absandlat":
+            return df
+        if not abs_ms:
+            return count_live(df, index.keys, index.ts, lat,
+                              tiebreak=tiebreak)
+        return time_live(df, index.ts, abs_ms, now_ms=now_ms)
+    return time_and_count_live(df, index.keys, index.ts, abs_ms,
+                               lat, now_ms=now_ms,
                                tiebreak=tiebreak, combine=combine)

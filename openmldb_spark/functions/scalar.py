@@ -94,7 +94,11 @@ def log_(base, c=None) -> Column:
 
 def strcmp(a, b) -> Column:
     a, b = _c(a), _c(b)
-    return (F.when(a < b, -1).when(a > b, 1).otherwise(0)
+    # NULL input -> NULL result (the SQL-path template sql.py has no
+    # ELSE branch for the same reason); .otherwise(0) alone would call
+    # NULL == anything "equal"
+    return (F.when(a.isNull() | b.isNull(), F.lit(None))
+            .when(a < b, -1).when(a > b, 1).otherwise(0)
             .cast("int"))
 
 
@@ -107,8 +111,11 @@ def char_length(c) -> Column:
 
 
 def like_match(s, pattern, escape="\\") -> Column:
-    return _c(s).like(pattern) if isinstance(pattern, str) \
-        else F.like(_c(s), _c(pattern), F.lit(escape))
+    # route str patterns through F.like too: Column.like has no escape
+    # parameter, so a custom escape char would be silently ignored
+    # depending on the Python type of the pattern argument
+    return F.like(_c(s), _c(pattern) if not isinstance(pattern, str)
+                  else F.lit(pattern), F.lit(escape))
 
 
 def ilike_match(s, pattern) -> Column:
@@ -126,7 +133,10 @@ def fz_join(arr, sep) -> Column:
 
 
 def fz_split(s, sep) -> Column:
-    return F.split(_c(s), sep)
+    # split of NULL is the EMPTY list in the reference
+    # (feature_zero_def.cc; same coalesce as the SQL-path template)
+    return F.coalesce(F.split(_c(s), sep),
+                      F.array().cast("array<string>"))
 
 
 def split_by_key(s, item_sep, kv_sep) -> Column:

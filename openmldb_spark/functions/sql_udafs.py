@@ -32,8 +32,19 @@ def _fmt_for(t: str):
     if t in ("smallint", "int", "bigint", "int16", "int32", "int64"):
         return lambda v: str(int(v))
     if t.startswith("timestamp"):
-        return lambda v: datetime.datetime.utcfromtimestamp(
-            (int(v) + 28_800_000) / 1000.0).strftime("%Y-%m-%d %H:%M:%S")
+        def _ts(v):
+            # Arrow hands timestamp keys/values over as pd.Timestamp
+            # (ns), not epoch-ms ints — int(pd.Timestamp) raises
+            if isinstance(v, pd.Timestamp):
+                ms = v.value // 1_000_000
+            elif isinstance(v, datetime.datetime):
+                ms = int(v.replace(
+                    tzinfo=datetime.timezone.utc).timestamp() * 1000)
+            else:
+                ms = int(v)
+            return datetime.datetime.utcfromtimestamp(
+                (ms + 28_800_000) / 1000.0).strftime("%Y-%m-%d %H:%M:%S")
+        return _ts
     if t in ("bool", "boolean"):
         return lambda v: "true" if v else "false"
     return str
@@ -87,7 +98,10 @@ def register_table_udafs(spark) -> None:
         f = fn.iloc[0]
         pairs = _per_category(v, k, f)
         if pairs is None:
-            return None
+            # empty container renders the EMPTY STRING, not NULL
+            # (containers.h OutputString:250-253 — same pin as the
+            # window kernel's cate finalizer)
+            return ""
         vfmt, kfmt = _fmts(f, vt.iloc[0], kt.iloc[0])
         return ",".join(f"{kfmt(key)}:{vfmt(val)}" for key, val in pairs)
 
@@ -98,7 +112,7 @@ def register_table_udafs(spark) -> None:
         f = fn.iloc[0]
         pairs = _per_category(v, k, f)
         if pairs is None:
-            return None
+            return ""            # empty container -> empty string
         nn = int(n.iloc[0])
         if mode.iloc[0] == "key":
             # n LARGEST keys, descending key order (containers.h map
@@ -129,8 +143,18 @@ def register_table_udafs(spark) -> None:
         return float({"sum": x.sum, "avg": x.mean,
                       "min": x.min, "max": x.max}[f]())
 
+    @pandas_udf("string")
+    def __omls_aggs(v: pd.Series, fn: pd.Series) -> str:
+        # lexicographic min/max for string/date columns (the double
+        # twin would coerce them to NaN)
+        x = v.dropna()
+        if len(x) == 0:
+            return None
+        return str(x.min() if fn.iloc[0] == "min" else x.max())
+
     spark.udf.register("__omls_cate_agg", __omls_cate_agg)
     spark.udf.register("__omls_topn_cate", __omls_topn_cate)
     spark.udf.register("__omls_count", __omls_count)
     spark.udf.register("__omls_aggd", __omls_aggd)
+    spark.udf.register("__omls_aggs", __omls_aggs)
     spark._omls_table_udafs = True

@@ -178,15 +178,18 @@ def csv_cast(c, dtype, string_ts_tz: str | None = None):
     are zone-free either way."""
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
+    # try_cast throughout: the documented contract is unparseable ->
+    # NULL, which a plain cast() breaks under Spark 4's default ANSI-on
+    # session ([CAST_INVALID_INPUT] crash on any bad cell)
     if isinstance(dtype, (T.TimestampType, T.TimestampNTZType)):
-        ts = F.to_timestamp(c)
+        ts = F.try_to_timestamp(c)
         if string_ts_tz:
             ts = F.to_utc_timestamp(ts, string_ts_tz)
-        return F.coalesce(F.timestamp_millis(c.cast("long")), ts)
+        return F.coalesce(F.timestamp_millis(c.try_cast("long")), ts)
     if isinstance(dtype, T.BooleanType):
         return F.when(F.lower(c).isin("true", "false"),
                       F.lower(c) == "true")
-    return c.cast(dtype)
+    return c.try_cast(dtype)
 
 
 def _is_header_row(fields):
@@ -338,7 +341,11 @@ class Warehouse:
     def _catalog_ok(spark: SparkSession, catalog: str) -> bool:
         try:
             spark.conf.get(f"spark.sql.catalog.{catalog}")
-            spark.sql(f"SELECT 1").collect()
+            # probe the CATALOG, not the session: SELECT 1 succeeds
+            # with the Iceberg jar absent, and the fallback promise
+            # ("otherwise the parquet layout is used") would be
+            # broken at first writeTo instead
+            spark.sql(f"SHOW NAMESPACES IN {catalog}").collect()
             return True
         except Exception:
             return False
@@ -410,6 +417,8 @@ class Warehouse:
         if not self.catalog and os.path.isdir(dbdir):
             existing = os.listdir(dbdir)
         tdef = parse_create_table(ddl_sql, existing=existing)
+        if tdef.if_not_exists and tdef.name in existing:
+            return tdef            # IF NOT EXISTS: silent no-op
         fields = []
         for c in tdef.columns:
             fields.append(f"`{c.name}` {_SPARK_TYPES[c.type]}"

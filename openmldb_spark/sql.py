@@ -3055,11 +3055,24 @@ def _rewrite_table_udafs(text: str, types: dict[str, str],
         else:                                    # {fn}_where
             fn = name[:-6]
             v, cond = unpack(args, 2, name)
+            vt = typ(v)
             if has_cate and fn == "count":
                 repl = f"__omls_count(CASE WHEN ({cond}) THEN ({v}) END)"
+            elif has_cate and fn in ("min", "max") and vt in (
+                    "string", "date"):
+                # the double-typed twin would to_numeric a string
+                # column into all-NaN -> NULL; lexicographic min/max
+                # needs the string twin
+                repl = (f"__omls_aggs(CASE WHEN ({cond}) THEN ({v}) "
+                        f"END, '{fn}')")
             elif has_cate:
                 repl = (f"__omls_aggd(CASE WHEN ({cond}) THEN ({v}) "
                         f"END, '{fn}')")
+                if fn in ("sum", "min", "max") and vt in (
+                        "smallint", "int", "bigint"):
+                    # the pandas twin is declared double; restore the
+                    # Catalyst rewrite's integer result type
+                    repl = f"CAST({repl} AS BIGINT)"
             else:
                 repl = f"{fn}(CASE WHEN ({cond}) THEN ({v}) END)"
         out = out[:m.start()] + repl + out[end:]

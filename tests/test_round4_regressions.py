@@ -55,6 +55,94 @@ def test_csv_roundtrip_keeps_row_matching_header_token(spark, tmp_path):
     assert got == [("c1", 1), ("x", 2)]
 
 
+# ------------------------------------------ ANSI-session public surface
+
+def test_csv_load_is_ansi_safe(spark, tmp_path):
+    """read_csv_infile under Spark 4's default ANSI-on session must
+    yield NULL for unparseable cells (non-strict), not crash with
+    CAST_INVALID_INPUT."""
+    from openmldb_spark.operators.table_io import read_csv_infile
+
+    path = str(tmp_path / "t.csv")
+    with open(path, "w") as f:
+        f.write("a,n,ts\nx,notanint,2020-05-22 10:43:40\ny,7,1590738989000\n")
+    out = read_csv_infile(spark, path, "a string, n int, ts timestamp",
+                          strict=False) \
+        .toPandas().sort_values("a").reset_index(drop=True)
+    assert pd.isna(out.n[0]) and out.n[1] == 7
+    assert out.ts.notna().all()     # both datetime string and epoch-ms
+
+
+def test_ttl_combined_zero_slot_means_unlimited(spark):
+    """A zero abs or lat slot in absorlat/absandlat is UNLIMITED for
+    that dimension (storage/table.h), not an active 0-length filter."""
+    from openmldb_spark.ddl import parse_create_table, ttl_filter
+
+    rows = [("a", 1000, 1), ("a", 2000, 2), ("a", 3000, 3)]
+    df = spark.createDataFrame(rows, "k string, ts_ms long, id int")
+
+    def ids(ttl, now=1_000_000):
+        td = parse_create_table(
+            f"create table t (k string, ts_ms bigint, id int, "
+            f"index(key=k, ts=ts_ms, ttl={ttl}))")
+        return sorted(r.id for r in
+                      ttl_filter(df, td.indexes[0], now_ms=now).collect())
+
+    # abs=0: only the count filter applies
+    assert ids("(0s,2), ttl_type=absorlat") == [2, 3]
+    # lat=0: only the time filter applies (all rows stale at now=1e6)
+    assert ids("(1s,0), ttl_type=absorlat") == []
+    # absandlat with a zero slot: nothing can satisfy the conjunction
+    assert ids("(0s,2), ttl_type=absandlat") == [1, 2, 3]
+    assert ids("(1s,0), ttl_type=absandlat") == [1, 2, 3]
+
+
+def test_create_table_if_not_exists_noop(spark):
+    from openmldb_spark.ddl import DDLError, parse_create_table
+
+    td = parse_create_table("create table if not exists t (a int)",
+                            existing=["t"])
+    assert td.if_not_exists and td.name == "t"
+    with pytest.raises(DDLError, match="already exists"):
+        parse_create_table("create table t (a int)", existing=["t"])
+
+
+def test_cate_udaf_timestamp_key_and_empty_group(spark):
+    """Timestamp cate keys must render (Arrow hands over pd.Timestamp,
+    not epoch-ms ints); a fully-excluded group renders '' per
+    containers.h OutputString, not NULL."""
+    from openmldb_spark.functions.sql_udafs import register_table_udafs
+
+    register_table_udafs(spark)
+    df = spark.createDataFrame(
+        [("g1", 1590738989000, 2), ("g2", 1590738989000, 5)],
+        "g string, ts_ms long, v int") \
+        .select("g", F.timestamp_millis(F.col("ts_ms")).alias("ts"), "v")
+    df.createOrReplaceTempView("cate_t")
+    out = spark.sql(
+        "SELECT g, __omls_cate_agg(v, ts, 'sum', 'int', 'timestamp') AS c,"
+        "       __omls_cate_agg(v, CAST(NULL AS timestamp), 'sum',"
+        "                       'int', 'timestamp') AS empty "
+        "FROM cate_t GROUP BY g ORDER BY g").collect()
+    assert out[0].c == "2020-05-29 15:56:29:2"    # UTC+8 display
+    assert out[0].empty == "" and out[1].empty == ""
+
+
+def test_scalar_null_semantics(spark):
+    from openmldb_spark.functions.scalar import (fz_split, like_match,
+                                                 strcmp)
+
+    df = spark.createDataFrame([("abc", None)], "a string, b string")
+    r = df.select(
+        strcmp(F.col("a"), F.col("b")).alias("s"),
+        F.size(fz_split(F.col("b"), ",")).alias("n"),
+        like_match(F.col("a"), "ab!%", escape="!").alias("m"),
+    ).collect()[0]
+    assert r.s is None            # NULL propagates, not "equal"
+    assert r.n == 0               # split(NULL) -> empty list
+    assert r.m is False           # '!' escapes '%': literal 'ab%' only
+
+
 # --------------------------------------------- NULL/zero-input hygiene
 
 def test_zero_norm_vectors_never_hijack_topk(spark):
