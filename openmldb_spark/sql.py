@@ -467,11 +467,15 @@ def _parse_agg_call(name: str, argstext: str, alias: str) -> Agg | None:
             except UnsupportedSQL:
                 arg_expr = args[0]     # expression input
     if fn in ("lag", "top", "topn_frequency") and len(args) > 1:
+        if len(args) > 2:
+            raise UnsupportedSQL(f"extra agg args {args!r}")
         try:
             n = int(args[1])
         except ValueError:
             raise UnsupportedSQL(f"non-literal count arg {args[1]!r}")
     elif fn.endswith("_where") and len(args) > 1:
+        if len(args) > 2:
+            raise UnsupportedSQL(f"extra agg args {args!r}")
         cond = args[1]
     elif len(args) > 1:
         raise UnsupportedSQL(f"extra agg args {args!r}")
@@ -492,11 +496,11 @@ def _extract_window_aggs(text: str, sink: list,
     while i < n:
         ch = text[i]
         if ch in "'\"":
-            j = i + 1
-            while j < n and text[j] != ch:
-                j += 1
-            out.append(text[i:j + 1])
-            i = j + 1
+            # escape-aware skip (_skip_literal): 'a\'b' / 'it''s' must
+            # not close early and expose literal content to the scanner
+            j = _skip_literal(text, i)
+            out.append(text[i:j])
+            i = j
             continue
         m = _IDENT_RE.match(text, i)
         if not m:
@@ -804,6 +808,13 @@ def _parse_item(item: str) -> _Item:
         try:
             call, win, post, alias = (m.group(1), m.group(2),
                                       m.group(3).strip() or None, alias0)
+            if post and re.search(r"(?i)\bover\b", post):
+                # `sum(a) over w + sum(b) over w`: the post suffix
+                # holds ANOTHER windowed call — F.expr over it would
+                # reference a window Spark doesn't know; route to the
+                # _extract_over_calls fallback, which computes
+                # same-window arithmetic correctly
+                raise UnsupportedSQL("windowed call in post suffix")
             mc = re.match(r"(?is)^(\w+)\s*\(\s*(.*)\s*\)$", call.strip())
             if not mc:
                 raise UnsupportedSQL(f"agg call {call!r}")
@@ -969,6 +980,20 @@ def translate(sql: str) -> tuple[list[_Item], dict[str, _Win], int | None]:
     for it in items:
         if it.win and it.win not in wins:
             raise UnsupportedSQL(f"unknown window {it.win!r}")
+    # same default alias over two windows (`sum(c1) over w1, sum(c1)
+    # over w2`): disambiguate with the window name — the collision
+    # otherwise becomes an ambiguous join column downstream
+    seen: set = set()
+    for it in items:
+        if it.alias and it.alias in seen and it.agg is not None:
+            base = f"{it.alias}_{it.win}" if it.win else it.alias
+            new, i = base, 2
+            while new in seen:
+                new, i = f"{base}_{i}", i + 1
+            it.alias = new
+            it.agg.name = new
+        if it.alias:
+            seen.add(it.alias)
     return items, wins, limit
 
 
@@ -1005,7 +1030,10 @@ def run_windowed_sql(sql: str, tables: list[DataFrame]) -> DataFrame:
     # the same schema)
     tm = _type_map(prim.select(
         *[c for c in prim.columns if c != _RID]).schema)
-    _strict_reject(sql, tm)
+    # strip comments BEFORE the strict type rejections: the fz/usecase
+    # corpus is heavily --commented and a column name inside a comment
+    # must not trip the arithmetic-type regexes
+    _strict_reject(strip_sql_comments(sql), tm)
 
     # lifted inner aggregates (a top-n bound or an equals-current cond
     # side containing a UDAF): compute them over their window FIRST and
@@ -1072,9 +1100,23 @@ def run_windowed_sql(sql: str, tables: list[DataFrame]) -> DataFrame:
         if it.agg and it.agg.cond:
             it.agg.cond = _xlate_expr(it.agg.cond, tm)
 
-    def add_derived(df):
+    def add_derived(df, fallback_types=None):
         for expr_text, cname in derived.items():
-            df = df.withColumn(cname, F.expr(_xlate_expr(expr_text, tm)))
+            try:
+                d2 = df.withColumn(cname,
+                                   F.expr(_xlate_expr(expr_text, tm)))
+                d2.schema          # force analysis now
+            except Exception:
+                # a derived expr can reference columns that exist only
+                # on the joined PRIMARY (e.g. a lifted __wpre_* column
+                # from an equals-current cond in ANOTHER window); union
+                # buffer rows never read the current-row side, so a
+                # typed NULL keeps the frame schema aligned
+                if fallback_types is None or cname not in fallback_types:
+                    raise
+                d2 = df.withColumn(
+                    cname, F.lit(None).cast(fallback_types[cname]))
+            df = d2
             # Spark parses bare float literals as DECIMAL (1.0 →
             # decimal(2,1)); the reference has no decimal type — its
             # float literals are doubles — so fold decimal results of
@@ -1086,6 +1128,8 @@ def run_windowed_sql(sql: str, tables: list[DataFrame]) -> DataFrame:
         return df
 
     prim = add_derived(prim)
+    derived_types = {c: prim.schema[c].dataType
+                     for c in derived.values()}
 
     out = prim
     for wname, w in wins.items():
@@ -1099,7 +1143,8 @@ def run_windowed_sql(sql: str, tables: list[DataFrame]) -> DataFrame:
         for ref in w.union_refs:
             if ref >= len(tables):
                 raise UnsupportedSQL(f"missing union table {{{ref}}}")
-            union_dfs.append(add_derived(tables[ref]))
+            union_dfs.append(add_derived(tables[ref],
+                                         fallback_types=derived_types))
         spec = WindowSpecFE(
             w.partition_by, w.order_by, frame=w.frame, start=w.start,
             end=w.end, open_start=w.open_start, maxsize=w.maxsize,
@@ -1272,8 +1317,11 @@ def _wrap_bool_call_arith(text: str) -> str:
                 end = _balanced_span(seg, m.end() - 1)
                 before = seg[:start].rstrip()
                 after = seg[end:].lstrip()
-                if before[-1:] in "+-*/%" \
-                        or after[:1] in "+*/%" \
+                # the neighbor must EXIST: '' in "+-*/%" is True, which
+                # would wrap a call at segment start/end (a bare
+                # boolean isnull(..) silently became SMALLINT)
+                if (before[-1:] != "" and before[-1] in "+-*/%") \
+                        or (after[:1] != "" and after[0] in "+*/%") \
                         or (after[:1] == "-" and after[1:2] != "-"):
                     seg = (seg[:start] +
                            f"CAST({seg[start:end]} AS SMALLINT)" +
@@ -1615,9 +1663,14 @@ def run_join_window_sql(sql: str, tables: list[DataFrame]) -> DataFrame:
     for k in keys:
         right2 = right2.withColumn(f"__rk_{k}", F.col(k))
     # keep the right rid under a reserved name: storage-order fallback
-    # and deterministic tie-break
+    # and deterministic tie-break; tables without the harness rid get
+    # a synthesized scan-order id (the sibling join runners do the
+    # same) so __r_rid can never be an unresolved column
     if _RID in right2.columns:
         right2 = right2.withColumnRenamed(_RID, "__r_rid")
+    else:
+        right2 = right2.withColumn("__r_rid",
+                                   F.monotonically_increasing_id())
     jorder = _strip_table(m.group(2)) if m.group(2) else "__r_rid"
     jorder = ren.get(jorder, jorder)
     if jorder in keys:
@@ -1999,11 +2052,11 @@ def rewrite_expr(text: str, ident_map: dict[str, str] | None = None) -> str:
     while i < n:
         ch = text[i]
         if ch in "'\"":
-            j = i + 1
-            while j < n and text[j] != ch:
-                j += 1
-            out.append(text[i:j + 1])
-            i = j + 1
+            # escape-aware skip (_skip_literal): 'a\'b' / 'it''s' must
+            # not close early and expose literal content to the scanner
+            j = _skip_literal(text, i)
+            out.append(text[i:j])
+            i = j
             continue
         m = _IDENT_RE.match(text, i)
         if not m:
@@ -2654,7 +2707,10 @@ def _parse_lastjoin_chain(from_text: str, tables: list[DataFrame]):
             elif op == ">=":
                 left_ts, right_ts = resolve(at, ac), bc
             else:
-                raise UnsupportedSQL(f"bound {cond!r}")
+                # a `<=` (or other non-PIT) comparison is a θ-residual
+                # — run_lastjoin_sql accepts the same shape; the two
+                # chain parsers must agree
+                residuals.append(cond.strip())
         if not keys:
             raise UnsupportedSQL("no equi keys")
         _lastjoin_strict(right, order_ref, key_src)
@@ -2740,12 +2796,17 @@ def run_general_sql(spark, sql: str, tables: list[DataFrame],
         s, tables = _inline_join_aliases(s, tables)
         names = list(names) + [None] * (len(tables) - len(names)) \
             if names else names
-    # table aliases: `{i} AS alias` -> rewrite alias-qualified refs
+    # table aliases: `{i} AS alias` -> rewrite alias-qualified refs —
+    # OUTSIDE string literals only (a literal like 't1.x' must pass
+    # through unchanged; same hazard class as _inline_join_aliases,
+    # ADVICE r3 low #4)
     for mm in list(re.finditer(r"\{(\d+)\}\s+[aA][sS]\s+(\w+)", s)):
         ti, al = mm.group(1), mm.group(2)
-        s = re.sub(r"(\{\d+\})\s+[aA][sS]\s+" + re.escape(al) + r"\b",
-                   r"\1", s)
-        s = re.sub(rf"\b{re.escape(al)}\s*\.", f"{{{ti}}}.", s)
+        s = _outside_quotes(s, lambda seg: re.sub(
+            r"(\{\d+\})\s+[aA][sS]\s+" + re.escape(al) + r"\b",
+            r"\1", seg))
+        s = _outside_quotes(s, lambda seg: re.sub(
+            rf"\b{re.escape(al)}\s*\.", f"{{{ti}}}.", seg))
     low = " " + " ".join(s.lower().split()) + " "
     if " window " in low or re.search(r"(?i)\bover\s*\(", s):
         raise UnsupportedSQL("window clause — use the window runners")
@@ -2833,7 +2894,8 @@ def run_general_sql(spark, sql: str, tables: list[DataFrame],
         final = _wrap_numeric_fn_args(final, jw)
         return spark.sql(final)
 
-    s2 = re.sub(r"\{(\d+)\}", lambda mm: f"__t{mm.group(1)}", s)
+    s2 = _outside_quotes(s, lambda seg: re.sub(
+        r"\{(\d+)\}", lambda mm: f"__t{mm.group(1)}", seg))
     s2 = _rewrite_array_literals(s2)
     _strict_reject(s2, {**{c: t for tdf in tables
                            for c, t in _type_map(tdf.schema).items()}})
