@@ -146,17 +146,17 @@ def q_top1_ratio(spark, sf_dir):
     return out.select("user_id", _r4("top1_ratio").alias("top1_ratio"))
 
 
-def q_count_cate(spark, sf_dir):
+def q_cate_count_sum(spark, sf_dir):
+    """count_cate + sum_cate over the same groups, one result row per
+    user (merged into one driver query: the correctness artifact caps
+    at 50 entries, and both ops share grouping so the join is exact)."""
     ev = _t(spark, sf_dir, "events")
-    return A.cate_agg(ev, ["user_id"], None, "event_type", "count",
-                      out_col="cnt_cate")
-
-
-def q_sum_cate(spark, sf_dir):
-    ev = _t(spark, sf_dir, "events") \
-        .withColumn("v_int", F.floor("value").cast("long"))
-    return A.cate_agg(ev, ["user_id"], "v_int", "event_type", "sum",
-                      out_col="sum_cate")
+    cnt = A.cate_agg(ev, ["user_id"], None, "event_type", "count",
+                     out_col="cnt_cate")
+    sm = A.cate_agg(ev.withColumn("v_int", F.floor("value").cast("long")),
+                    ["user_id"], "v_int", "event_type", "sum",
+                    out_col="sum_cate")
+    return cnt.join(sm, "user_id")
 
 
 # ---------------------------------------------------------------------------
@@ -353,28 +353,25 @@ def q_ttl_count_live(spark, sf_dir):
     return out.select("event_id", "user_id", _ms().alias("ts_ms"))
 
 
-def q_ttl_absorlat(spark, sf_dir):
-    """TTL kAbsOrLat (ddl dialect ttl_type=absorlat): a row expires
-    when it is older than the absolute horizon OR beyond the newest-k
-    — keep rows passing BOTH filters (operators/ttl.py,
+def q_ttl_combined(spark, sf_dir):
+    """TTL kAbsOrLat + kAbsAndLat in one driver query (the correctness
+    artifact caps at 50 entries; a ttl_mode tag keeps the two row sets
+    separately hash-gated).  absorlat: a row expires when older than
+    the absolute horizon OR beyond the newest-k — keep rows passing
+    BOTH filters.  absandlat: expires only when old AND beyond the
+    newest-k — keep rows passing EITHER (operators/ttl.py,
     ddl.ttl_filter; reference storage/mem_table.cc TTL types)."""
     from openmldb_spark import time_and_count_live
     ev = _t(spark, sf_dir, "events")
-    out = time_and_count_live(ev, "user_id", "ts",
-                              7 * 86_400_000, 5,
-                              tiebreak=("event_id",), combine="and")
-    return out.select("event_id", "user_id", _ms().alias("ts_ms"))
-
-
-def q_ttl_absandlat(spark, sf_dir):
-    """TTL kAbsAndLat (ttl_type=absandlat): a row expires only when
-    old AND beyond the newest-k — keep rows passing EITHER filter."""
-    from openmldb_spark import time_and_count_live
-    ev = _t(spark, sf_dir, "events")
-    out = time_and_count_live(ev, "user_id", "ts",
-                              7 * 86_400_000, 5,
-                              tiebreak=("event_id",), combine="or")
-    return out.select("event_id", "user_id", _ms().alias("ts_ms"))
+    a = (time_and_count_live(ev, "user_id", "ts", 7 * 86_400_000, 5,
+                             tiebreak=("event_id",), combine="and")
+         .select("event_id", "user_id", _ms().alias("ts_ms"),
+                 F.lit("absorlat").alias("ttl_mode")))
+    o = (time_and_count_live(ev, "user_id", "ts", 7 * 86_400_000, 5,
+                             tiebreak=("event_id",), combine="or")
+         .select("event_id", "user_id", _ms().alias("ts_ms"),
+                 F.lit("absandlat").alias("ttl_mode")))
+    return a.unionByName(o)
 
 
 def q_ordered_limit(spark, sf_dir):
@@ -768,8 +765,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_aggregates": q_group_aggregates,
         "topn_frequency": q_topn_frequency,
         "top1_ratio": q_top1_ratio,
-        "count_cate": q_count_cate,
-        "sum_cate": q_sum_cate,
+        "cate_count_sum": q_cate_count_sum,
         "table_udaf_sql": q_table_udaf_sql,
         "window_rows": q_window_rows,
         "window_range": q_window_range,
@@ -786,8 +782,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_positional": q_window_positional,
         "const_project": q_const_project,
         "ttl_count_live": q_ttl_count_live,
-        "ttl_absorlat": q_ttl_absorlat,
-        "ttl_absandlat": q_ttl_absandlat,
+        "ttl_combined": q_ttl_combined,
         "ordered_limit": q_ordered_limit,
         "multi_window": q_multi_window,
         "long_window": q_long_window,
@@ -1180,19 +1175,13 @@ FROM (SELECT user_id, event_type, count(*) AS cnt
       FROM events GROUP BY user_id, event_type)
 GROUP BY user_id
 """,
-        "count_cate": """
+        "cate_count_sum": """
 SELECT user_id,
        string_agg(event_type || ':' || CAST(cnt AS VARCHAR), ','
-                  ORDER BY event_type) AS cnt_cate
-FROM (SELECT user_id, event_type, count(*) AS cnt
-      FROM events GROUP BY user_id, event_type)
-GROUP BY user_id
-""",
-        "sum_cate": """
-SELECT user_id,
+                  ORDER BY event_type) AS cnt_cate,
        string_agg(event_type || ':' || CAST(s AS VARCHAR), ','
                   ORDER BY event_type) AS sum_cate
-FROM (SELECT user_id, event_type,
+FROM (SELECT user_id, event_type, count(*) AS cnt,
              CAST(sum(CAST(floor(value) AS BIGINT)) AS BIGINT) AS s
       FROM events GROUP BY user_id, event_type)
 GROUP BY user_id
@@ -1357,24 +1346,18 @@ SELECT event_id, user_id, epoch_ms(ts) AS ts_ms FROM (
                             ORDER BY epoch_ms(ts) DESC, event_id DESC) AS rn
   FROM events) WHERE rn <= 10
 """,
-        "ttl_absorlat": """
-SELECT event_id, user_id, ts_ms FROM (
+        "ttl_combined": """
+WITH ranked AS (
   SELECT event_id, user_id, epoch_ms(ts) AS ts_ms,
          row_number() OVER (PARTITION BY user_id
                             ORDER BY epoch_ms(ts) DESC,
                                      event_id DESC) AS rn,
          max(epoch_ms(ts)) OVER () AS mx
   FROM events)
+SELECT event_id, user_id, ts_ms, 'absorlat' AS ttl_mode FROM ranked
 WHERE rn <= 5 AND ts_ms >= mx - 604800000
-""",
-        "ttl_absandlat": """
-SELECT event_id, user_id, ts_ms FROM (
-  SELECT event_id, user_id, epoch_ms(ts) AS ts_ms,
-         row_number() OVER (PARTITION BY user_id
-                            ORDER BY epoch_ms(ts) DESC,
-                                     event_id DESC) AS rn,
-         max(epoch_ms(ts)) OVER () AS mx
-  FROM events)
+UNION ALL
+SELECT event_id, user_id, ts_ms, 'absandlat' AS ttl_mode FROM ranked
 WHERE rn <= 5 OR ts_ms >= mx - 604800000
 """,
         "ordered_limit": """

@@ -22,9 +22,12 @@ The in-order hot path is fully vectorized (VERDICT r3 wrong #3): window
 bounds come from one ``searchsorted`` + a maxsize clamp, count/sum/avg
 from cumulative sums, and min/max from pandas' Cython monotonic-deque
 variable-window rolling — per-event cost is O(1) amortized, independent
-of buffer length. The per-row Python loop survives only as the rare
-out-of-order fallback (a late event makes the concatenated sequence
-non-ascending). Watermark policy belongs to the caller (this operator
+of buffer length. The out-of-order fallback (a late event left a
+non-ascending buffer) is vectorized too (``rolling_over_buffered``:
+prefix-max searchsorted front pointers + the same cumsum/deque
+aggregation); only the rare maxsize-cap-binding corner walks an
+integer pointer scan, still O(1)/event amortized with no per-row value
+processing. Watermark policy belongs to the caller (this operator
 is deterministic given arrival order; late data outside the frame
 simply sees an emptier buffer, it never corrupts state).
 """
@@ -74,6 +77,80 @@ def rolling_over_ascending(ts: np.ndarray, v: np.ndarray, nb: int,
     mn = roll.min().to_numpy()[nb:]
     mx = roll.max().to_numpy()[nb:]
     return cnt, sm, mn, mx, int(starts[-1])
+
+
+def _scan_front(s_ts: np.ndarray, lo: np.ndarray, nb: int,
+                maxsize: int) -> np.ndarray:
+    """Exact sequential front-pointer advance for the maxsize-capped
+    out-of-order corner: per event, evict the front prefix older than
+    the horizon (stopping at the FIRST survivor — the buffer is NOT
+    sorted), then drop one more entry if over the cap.  A cap drop can
+    expose an expired entry hiding behind the dropped survivor, which
+    is why the closed-form prefix-max searchsorted is not exact here.
+    Integer comparisons only; each position is passed at most once, so
+    a whole batch costs O(n + buffer) — per-event cost stays O(1)
+    amortized and flat in buffer length."""
+    n = len(lo)
+    r = np.empty(n, dtype=np.int64)
+    j = 0
+    for i in range(n):
+        hi = nb + i
+        while j < hi and s_ts[j] < lo[i]:
+            j += 1
+        if hi + 1 - j > maxsize:
+            j += 1
+        r[i] = j
+    return r
+
+
+def rolling_over_buffered(b_ts: np.ndarray, b_v: np.ndarray,
+                          e_ts: np.ndarray, e_v: np.ndarray,
+                          window_ms: int, maxsize: int | None):
+    """Vectorized out-of-order fallback: sequential buffered-rows
+    semantics (front-prefix time eviction stopping at the first
+    non-expired entry in INSERTION order, append, maxsize cap) over a
+    possibly non-ascending carried buffer.
+
+    The per-event front pointer is closed-form: the scan-from-front
+    stop point is the first position whose running maximum reaches the
+    horizon, i.e. ``searchsorted(prefix_max(seq), t - window_ms)``
+    (resuming the scan event-to-event equals scanning from 0 because
+    horizons are nondecreasing and every evicted entry was below an
+    earlier horizon).  Exact whenever the maxsize cap never fires; the
+    rare cap-binding corner falls back to ``_scan_front`` (pointer
+    arithmetic only).  Aggregates are cumulative sums + pandas'
+    monotonic-deque variable-window rolling over the [r_i, i] slices —
+    O(1) amortized per event, independent of buffer length, no per-row
+    Python over values.
+
+    Returns (cnt, sum, min, max) arrays for the events and the index
+    the live buffer starts at after the last event."""
+    nb, n = len(b_ts), len(e_ts)
+    s_ts = np.concatenate([np.asarray(b_ts, dtype=np.int64),
+                           np.asarray(e_ts, dtype=np.int64)])
+    s_v = np.concatenate([np.asarray(b_v, dtype=np.float64),
+                          np.asarray(e_v, dtype=np.float64)])
+    lo = s_ts[nb:] - window_ms
+    idx = np.arange(n, dtype=np.int64)
+    run_max = np.maximum.accumulate(s_ts)
+    r = np.minimum(np.searchsorted(run_max, lo, side="left"), nb + idx)
+    if maxsize is not None and ((nb + 1 + idx - r) > maxsize).any():
+        r = _scan_front(s_ts, lo, nb, maxsize)
+    ends = nb + 1 + idx
+    valid = ~np.isnan(s_v)
+    c_cnt = np.concatenate(([0], np.cumsum(valid)))
+    c_sum = np.concatenate(([0.0], np.cumsum(np.where(valid, s_v, 0.0))))
+    cnt = c_cnt[ends] - c_cnt[r]
+    sm = c_sum[ends] - c_sum[r]
+    starts_full = np.zeros(nb + n, dtype=np.int64)
+    ends_full = np.zeros(nb + n, dtype=np.int64)
+    starts_full[nb:] = r
+    ends_full[nb:] = ends
+    roll = pd.Series(s_v).rolling(_BoundsIndexer(starts_full, ends_full),
+                                  min_periods=0)
+    mn = roll.min().to_numpy()[nb:]
+    mx = roll.max().to_numpy()[nb:]
+    return cnt, sm, mn, mx, int(r[-1]) if n else 0
 
 
 class _BoundsIndexer:
@@ -156,32 +233,17 @@ def streaming_rolling_features(
         return (emit(key, e_id, e_ts, cnt, sm, mn, mx),
                 ts[new_start:], v[new_start:])
 
-    def slow_path(key: tuple, ts_buf: list, v_buf: list,
+    def slow_path(key: tuple, b_ts: np.ndarray, b_v: np.ndarray,
                   e_ts: np.ndarray, e_id: np.ndarray, e_v: np.ndarray):
-        """Out-of-order fallback (non-ascending sequence): the original
-        sequential semantics — front-prefix time eviction, append, cap."""
-        cnt, sm, mn, mx = [], [], [], []
-        for t, val in zip(e_ts, e_v):
-            lo = t - window_ms
-            i = 0
-            while i < len(ts_buf) and ts_buf[i] < lo:
-                i += 1
-            if i:
-                del ts_buf[:i], v_buf[:i]
-            ts_buf.append(int(t))
-            v_buf.append(float(val))
-            if maxsize is not None and len(ts_buf) > maxsize:
-                del ts_buf[0], v_buf[0]
-            vals = [x for x in v_buf if x == x]
-            n = len(vals)
-            cnt.append(n)
-            sm.append(float(sum(vals)) if n else np.nan)
-            mn.append(min(vals) if n else np.nan)
-            mx.append(max(vals) if n else np.nan)
-        return (emit(key, e_id, e_ts, np.array(cnt),
-                     np.array(sm), np.array(mn), np.array(mx)),
-                np.array(ts_buf, dtype=np.int64),
-                np.array(v_buf, dtype=np.float64))
+        """Out-of-order fallback (non-ascending carried buffer):
+        sequential buffered-rows semantics, vectorized — see
+        rolling_over_buffered."""
+        cnt, sm, mn, mx, new_start = rolling_over_buffered(
+            b_ts, b_v, e_ts, e_v, window_ms, maxsize)
+        s_ts = np.concatenate([b_ts, e_ts])
+        s_v = np.concatenate([b_v, e_v])
+        return (emit(key, e_id, e_ts, cnt, sm, mn, mx),
+                s_ts[new_start:], s_v[new_start:])
 
     def fn(key: tuple, pdfs: Iterable[pd.DataFrame],
            state: GroupState):
@@ -214,7 +276,7 @@ def streaming_rolling_features(
                 out, b_ts, b_v = fast_path(key, b_ts, b_v,
                                            e_ts, e_id, e_v)
             else:
-                out, b_ts, b_v = slow_path(key, list(b_ts), list(b_v),
+                out, b_ts, b_v = slow_path(key, b_ts, b_v,
                                            e_ts, e_id, e_v)
             yield out
         state.update((b_ts.tolist(), b_v.tolist()))

@@ -264,3 +264,109 @@ def test_rolling_kernel_per_event_cost_is_buffer_independent():
     narrow = best_of(50)          # ~50-row frames
     wide = best_of(10 * n)        # every frame = entire history
     assert wide < 6 * narrow, (narrow, wide)
+
+
+# --------------------------- out-of-order fallback kernel (round 5)
+
+
+def _brute_buffered(b_ts, b_v, e_ts, e_v, window_ms, maxsize):
+    """The exact pre-round-5 per-row slow-path semantics: front-prefix
+    time eviction STOPPING at the first non-expired entry (insertion
+    order — the buffer is not sorted), append, one maxsize cap drop.
+    Kept here as the differential reference for the vectorized
+    rolling_over_buffered."""
+    import numpy as np
+
+    ts_buf = [int(t) for t in b_ts]
+    v_buf = [float(x) for x in b_v]
+    out = []
+    for t, val in zip(e_ts, e_v):
+        lo = t - window_ms
+        i = 0
+        while i < len(ts_buf) and ts_buf[i] < lo:
+            i += 1
+        if i:
+            del ts_buf[:i], v_buf[:i]
+        ts_buf.append(int(t))
+        v_buf.append(float(val))
+        if maxsize is not None and len(ts_buf) > maxsize:
+            del ts_buf[0], v_buf[0]
+        vals = [x for x in v_buf if x == x]
+        n = len(vals)
+        out.append((n, float(sum(vals)) if n else np.nan,
+                    min(vals) if n else np.nan,
+                    max(vals) if n else np.nan))
+    return out, ts_buf, v_buf
+
+
+def test_buffered_kernel_matches_sequential_semantics():
+    """rolling_over_buffered (vectorized out-of-order fallback) must
+    equal the sequential buffered-rows loop on arbitrary non-ascending
+    carried buffers — including the maxsize corner where a cap drop
+    exposes an expired entry hiding behind the dropped survivor."""
+    import numpy as np
+    from openmldb_spark.streaming.stateful import rolling_over_buffered
+
+    rng = np.random.RandomState(11)
+    # adversarial cap-interaction case first: big ts at the buffer
+    # front shields an expired small ts; the cap drop removes the
+    # shield and the next event must evict the straggler
+    cases = [(np.array([100, 10], dtype=np.int64),
+              np.array([1.0, 2.0]),
+              np.array([110, 115], dtype=np.int64),
+              np.array([3.0, 4.0]), 50, 2)]
+    for maxsize in (None, 1, 2, 4, 8):
+        for _ in range(8):
+            nb = rng.randint(0, 8 if maxsize is None
+                             else min(8, maxsize + 1))
+            n = rng.randint(1, 60)
+            b_ts = rng.randint(0, 300, nb).astype(np.int64)  # unsorted
+            b_v = rng.randn(nb)
+            b_v[rng.rand(nb) < 0.15] = np.nan
+            e_ts = np.sort(rng.randint(100, 800, n)).astype(np.int64)
+            e_v = rng.randn(n)
+            e_v[rng.rand(n) < 0.15] = np.nan
+            cases.append((b_ts, b_v, e_ts, e_v,
+                          int(rng.choice([30, 100, 400])), maxsize))
+    for b_ts, b_v, e_ts, e_v, window_ms, maxsize in cases:
+        cnt, sm, mn, mx, new_start = rolling_over_buffered(
+            b_ts, b_v, e_ts, e_v, window_ms, maxsize)
+        exp, exp_ts, exp_v = _brute_buffered(
+            b_ts, b_v, e_ts, e_v, window_ms, maxsize)
+        s_ts = np.concatenate([b_ts, e_ts])
+        for i, (ec, es, emn, emx) in enumerate(exp):
+            assert cnt[i] == ec, (window_ms, maxsize, i)
+            if ec:
+                assert abs(sm[i] - es) < 1e-9, (window_ms, maxsize, i)
+                assert mn[i] == emn and mx[i] == emx
+            else:
+                assert np.isnan(mn[i]) and np.isnan(mx[i])
+        assert s_ts[new_start:].tolist() == exp_ts, (window_ms, maxsize)
+
+
+def test_buffered_kernel_per_event_cost_is_buffer_independent():
+    """Per-event cost of the out-of-order kernel must be flat in buffer
+    length (VERDICT r4 next #4 done-criterion): wide windows keeping
+    every row live vs narrow windows over the same 200k events."""
+    import time
+    import numpy as np
+    from openmldb_spark.streaming.stateful import rolling_over_buffered
+
+    n = 200_000
+    rng = np.random.RandomState(3)
+    b_ts = np.array([500, 100], dtype=np.int64)       # non-ascending
+    b_v = rng.randn(2)
+    e_ts = np.sort(rng.randint(600, 600 + 40 * n, n)).astype(np.int64)
+    e_v = rng.randn(n)
+
+    def best_of(window_ms, k=3):
+        best = float("inf")
+        for _ in range(k):
+            t0 = time.perf_counter()
+            rolling_over_buffered(b_ts, b_v, e_ts, e_v, window_ms, None)
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    narrow = best_of(50)
+    wide = best_of(100 * 40 * n)   # every frame = entire history
+    assert wide < 6 * narrow, (narrow, wide)

@@ -91,10 +91,24 @@ def main():
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    # The driver's correctness artifact records at most 50 entries
+    # (round 4 silently dropped queries 51-52); fail loudly here so a
+    # new entry can never push an existing one out of the gate.
+    if len(qs) > 50:
+        print(f"FATAL: queries() has {len(qs)} entries > driver cap 50; "
+              "consolidate before adding more")
+        sys.exit(2)
+    stray = set(oracles) - set(qs)
+    if stray:
+        print(f"FATAL: oracle_sql() keys with no queries() twin: "
+              f"{sorted(stray)}")
+        sys.exit(2)
     n_pass = n_fail = 0
+    emitted: set[str] = set()
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        emitted.add(name)
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir).toPandas()
@@ -129,6 +143,13 @@ def main():
             n_fail += 1
         print(f"{status}  {name:32s} {len(sdf):6d} rows "
               f"{time.time()-t0:5.1f}s  {msg if not ok else ''}")
+    # Complete-by-construction: with no filter, every queries() entry
+    # must have produced a result row above — a silently-dropped query
+    # can never read as green.
+    if not only and emitted != set(qs):
+        missing = sorted(set(qs) - emitted)
+        print(f"FATAL: gate incomplete — missing {missing}")
+        n_fail += len(missing)
     print(f"\n{n_pass} pass, {n_fail} fail")
     sys.exit(1 if n_fail else 0)
 
