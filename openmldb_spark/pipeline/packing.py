@@ -42,13 +42,37 @@ from openmldb_spark.pipeline.text import token_count
 
 def pack_offsets(df: DataFrame, id_col: str = "doc_id",
                  text_col: str = "text", chunk_tokens: int = 2048,
-                 num_partitions: int | None = None) -> DataFrame:
-    """(id, n_tokens, tok_start, chunk_first, chunk_last) per doc."""
+                 num_partitions: int | None = None,
+                 tokenizer_fn=None) -> DataFrame:
+    """(id, n_tokens, tok_start, chunk_first, chunk_last) per doc.
+
+    ``tokenizer_fn`` makes the token accounting pluggable: real
+    pipelines pack by BPE tokens, and offsets computed under a
+    different tokenizer are useless downstream. Pass a vectorized
+    callable ``pandas.Series[str] -> int64 counts`` (it sees NULL docs
+    as ``""``); it runs as an Arrow-batched pandas UDF, so a
+    tiktoken/HF ``len(encode(...))`` wrapper drops straight in. The
+    default stays the whitespace ``text.token_count`` Column (JVM-side,
+    codegen'd) — the two produce identical offsets for single-space
+    text, which is what the DuckDB oracle arithmetic pins."""
     if chunk_tokens <= 0:
         raise ValueError("chunk_tokens must be > 0")
     spark = df.sparkSession
     nparts = num_partitions or spark.sparkContext.defaultParallelism
-    d = (df.select(F.col(id_col), token_count(text_col).alias("__nt"))
+    if tokenizer_fn is None:
+        nt_col = token_count(text_col)
+    else:
+        @F.pandas_udf("long")
+        def _nt(s: pd.Series) -> pd.Series:
+            counts = np.asarray(tokenizer_fn(s.fillna("")),
+                                dtype=np.int64)
+            if counts.shape != (len(s),):
+                raise ValueError(
+                    f"tokenizer_fn must return one int64 count per "
+                    f"doc: got shape {counts.shape} for {len(s)} docs")
+            return pd.Series(counts)
+        nt_col = _nt(F.col(text_col))
+    d = (df.select(F.col(id_col), nt_col.alias("__nt"))
          .repartitionByRange(nparts, F.col(id_col))
          .sortWithinPartitions(id_col)
          .localCheckpoint())           # pin sampled range boundaries

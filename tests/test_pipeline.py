@@ -559,6 +559,44 @@ def test_pack_offsets_null_text_is_zero_tokens(spark):
     assert list(out.chunk_last) == [0, 0, 1]
 
 
+def test_pack_offsets_pluggable_tokenizer(spark, docs_df):
+    """A non-whitespace tokenizer_fn must flow through the same
+    two-phase prefix sum: offsets equal the pandas cumsum of its
+    counts, NULL docs tokenize as "", and partition count stays
+    irrelevant (VERDICT r4 next #6)."""
+    import numpy as np
+    import pandas as pd
+    from openmldb_spark.pipeline.packing import pack_offsets
+
+    def bpe_ish(s: pd.Series) -> np.ndarray:
+        # deterministic stand-in for len(tokenizer.encode(text)):
+        # ~1 token per 4 chars, ceil, 0 for empty
+        n = s.str.len().to_numpy(dtype=np.int64)
+        return (n + 3) // 4
+
+    out = pack_offsets(docs_df, chunk_tokens=16, num_partitions=5,
+                       tokenizer_fn=bpe_ish) \
+        .toPandas().sort_values("doc_id").reset_index(drop=True)
+    ref = docs_df.toPandas().sort_values("doc_id").reset_index(drop=True)
+    exp_n = bpe_ish(ref.text.fillna(""))
+    starts = np.concatenate(([0], np.cumsum(exp_n)[:-1]))
+    assert list(out.n_tokens) == list(exp_n)
+    assert list(out.tok_start) == list(starts)
+    assert (out.chunk_first == out.tok_start // 16).all()
+    out2 = pack_offsets(docs_df, chunk_tokens=16, num_partitions=2,
+                        tokenizer_fn=bpe_ish) \
+        .toPandas().sort_values("doc_id").reset_index(drop=True)
+    assert list(out2.tok_start) == list(out.tok_start)
+
+    # a tokenizer returning the wrong shape must fail loudly, not
+    # silently misalign offsets
+    import pytest
+    with pytest.raises(Exception):
+        pack_offsets(docs_df, chunk_tokens=16,
+                     tokenizer_fn=lambda s: np.array([1])) \
+            .toPandas()
+
+
 def test_text_features_null_text_modes_agree(spark):
     from openmldb_spark.pipeline.text import text_features
     df = spark.createDataFrame(
