@@ -2517,12 +2517,47 @@ def _wrap_numeric_fn_args(sql_text: str, wrappers: dict[str, str]) -> str:
 _NUMERIC = {"smallint", "int", "bigint", "float", "double"}
 
 
+_IN_LITLIST = re.compile(
+    r"(?<![\w.'])([+-]?\d+(?:\.\d+)?|'[^']*')\s+(not\s+)?in\s*\(([^()]*)\)",
+    re.IGNORECASE)
+
+
+def _coerce_literal_in(sql_text: str) -> str:
+    """Reference IN-list literal coercion (cases/query/simple_query.yaml
+    in_predicate_type_cast_3/_4): '1' IN (1.0, 2.0) and 1 IN (1.0, '2')
+    compare NUMERICALLY — any fractional literal among the operands
+    pulls string literals to DOUBLE. Spark's legacy (non-ANSI) resolver
+    instead widens the set to STRING and compares lexically
+    ('1' != '1.0' -> false). Literal-only by construction; column-ref
+    coercions are handled below in _wrap_compare_operands."""
+    def is_str(t: str) -> bool:
+        return len(t) >= 2 and t.startswith("'") and t.endswith("'")
+
+    def is_num(t: str) -> bool:
+        return re.fullmatch(r"[+-]?\d+(?:\.\d+)?", t) is not None
+
+    def sub(m: re.Match) -> str:
+        lhs, neg, body = m.group(1), m.group(2) or "", m.group(3)
+        items = [t.strip() for t in body.split(",")]
+        ops = [lhs] + items
+        if not all(is_str(t) or is_num(t) for t in ops):
+            return m.group(0)
+        has_frac = any(is_num(t) and "." in t for t in ops)
+        if not (has_frac and any(is_str(t) for t in ops)):
+            return m.group(0)
+        cast = lambda t: f"CAST({t} AS DOUBLE)" if is_str(t) else t  # noqa: E731
+        return f"{cast(lhs)} {neg}in ({', '.join(cast(t) for t in items)})"
+
+    return _IN_LITLIST.sub(sub, sql_text)
+
+
 def _wrap_compare_operands(sql_text: str, types: dict[str, str]) -> str:
     """Cross-type comparison coercions the reference applies but Spark
     resolves differently: string vs non-string compares LEXICALLY (cast
     the other side to string — Spark would cast the string to the other
     type, yielding NULL); timestamp vs numeric compares on epoch ms;
     bool vs numeric promotes bool to 0/1."""
+    sql_text = _coerce_literal_in(sql_text)
     if not types:
         return sql_text
     names = "|".join(re.escape(c) for c in sorted(types, key=len,

@@ -891,13 +891,12 @@ def _values_match(got, exp, dtype_str) -> bool:
     return str(got) == str(exp)
 
 
-# Documented semantic divergences: literal-coercion corners where the
-# reference coerces mixed-type IN-list literals numerically and Spark's
-# resolver (ANSI off) resolves to false. Column-ref coercions ARE
-# handled (see sql._wrap_compare_operands); these are literal-only.
-KNOWN_DIVERGENCES = {
-    "in_predicate_type_cast_3", "in_predicate_type_cast_4",
-}
+# Documented semantic divergences vs the reference goldens. Empty since
+# round 5: the two IN-list literal-coercion corners
+# (simple_query.yaml in_predicate_type_cast_3/_4) now pass natively —
+# Spark 4's ANSI resolver coerces '1' IN (1.0, 2.0) and 1 IN (1.0, '2')
+# to the numeric comparison the reference expects.
+KNOWN_DIVERGENCES: set[str] = set()
 
 # File-scoped: cases whose golden CONTRADICTS the same case in another
 # reference file. integration_test/window/test_window.yaml#31 records
