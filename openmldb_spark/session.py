@@ -25,6 +25,16 @@ _BASE_CONF = {
     "spark.sql.execution.arrow.maxRecordsPerBatch": "65536",
     # At 100 TB this comes from cluster sizing; locally ~cores.
     "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_SHUFFLE", "32"),
+    # Always use the sort-based (Unsafe) shuffle writer. Below the
+    # default threshold (200 reducers) Spark picks the bypass writer,
+    # which creates one file per (map task x reducer); those
+    # O(M*R) file creates serialize on the filesystem journal and were
+    # the flattest-scaling component of the whole engine (measured
+    # round 5: a 64-map x 128-reduce exchange of 6M rows dropped
+    # 2.5s -> 0.43s at 32 cores, 3.4s -> 1.0s at 8). The sort writer
+    # radix-sorts partition ids in memory and writes ONE file per map
+    # task — the same shape it uses above 200 reducers at cluster scale.
+    "spark.shuffle.sort.bypassMergeThreshold": "1",
     "spark.sql.files.maxPartitionBytes": "134217728",
     "spark.ui.enabled": "false",
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"),
