@@ -507,10 +507,13 @@ def q_join_agg_revenue(spark, sf_dir):
     orders = _t(spark, sf_dir, "orders")
     cust = _t(spark, sf_dir, "customer")
     nation = _t(spark, sf_dir, "nation")
+    # No broadcast hints (VERDICT r4 nit #4): nation is a bounded 25-row
+    # dim AQE always broadcasts on its own; customer GROWS with the
+    # corpus, so a forced broadcast would eventually OOM executors at
+    # 100x — let AQE pick broadcast-vs-shuffle from runtime sizes.
     rev = (li.join(orders, li.l_orderkey == orders.o_orderkey)
-           .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-           .join(F.broadcast(nation),
-                 cust.c_nationkey == nation.n_nationkey)
+           .join(cust, orders.o_custkey == cust.c_custkey)
+           .join(nation, cust.c_nationkey == nation.n_nationkey)
            .groupBy("n_name")
            .agg(_r2(F.sum(F.col("l_extendedprice")
                               * (1 - F.col("l_discount"))))
