@@ -196,3 +196,16 @@ def test_nested_udaf_decomposition_stays_native(spark):
     p = plan_of(out)
     assert "MapInPandas" not in p and "FlatMapGroupsInPandas" not in p, p
     assert "Window" in p, p
+
+
+def test_scale_conf_defaults(spark):
+    """Pin the scale-critical session defaults so a refactor cannot
+    silently revert them (round 5: the sort shuffle writer removed the
+    O(maps x reducers) file-create storm that throttled 32-core scaling
+    — BENCH/BASELINE.md §3)."""
+    conf = spark.conf
+    assert conf.get("spark.shuffle.sort.bypassMergeThreshold") == "1"
+    assert conf.get("spark.sql.adaptive.enabled") == "true"
+    assert conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
+    assert conf.get("spark.sql.execution.arrow.pyspark.enabled") == "true"
+    assert conf.get("spark.sql.session.timeZone") == "UTC"
