@@ -103,8 +103,44 @@ def main():
         "meets_target": eff >= 0.8,
     }
     print(json.dumps(result, indent=1))
-    with open("/root/repo/BENCH_SCALING.json", "w") as f:
-        json.dump(result, f, indent=1)
+    # MERGE into the committed artifact rather than overwrite: the file
+    # accumulates both measured pairs (headline 2->8, secondary 8->32),
+    # so re-running one pair must not erase the other. Per-level sample
+    # lists are appended (the min updates if this run beat it); the
+    # pair-level numbers for THIS run replace the same pair's previous
+    # entry. Narrative keys written by hand (methodology, notes) are
+    # preserved.
+    out_path = "/root/repo/BENCH_SCALING.json"
+    try:
+        with open(out_path) as f:
+            merged = json.load(f)
+    except (OSError, json.JSONDecodeError):
+        merged = {}
+    merged["input_rows"] = result["input_rows"]
+    for lvl, r in ((lo, r_lo), (hi, r_hi)):
+        key = f"local[{lvl}]"
+        prev = merged.get(key, {})
+        samples = list(prev.get("samples_wall_s", [])) + r["samples_wall_s"]
+        entry = dict(r)
+        entry["samples_wall_s"] = samples
+        if prev.get("wall_s") is not None and prev["wall_s"] < r["wall_s"]:
+            entry["wall_s"] = prev["wall_s"]
+            entry["rows_per_s"] = prev.get("rows_per_s", entry["rows_per_s"])
+        merged[key] = entry
+    merged[f"pair_{lo}_{hi}"] = {
+        "speedup": result["speedup"],
+        "scaling_efficiency": result["scaling_efficiency"],
+        "target": 0.8,
+        "meets_target": result["meets_target"],
+    }
+    if (lo, hi) == (2, 8):
+        # headline pair (see BENCH/BASELINE.md §3) — keep the top-level
+        # north-rule keys in sync with its latest measurement
+        merged.update({k: result[k] for k in
+                       ("speedup", "scaling_efficiency", "target",
+                        "meets_target")})
+    with open(out_path, "w") as f:
+        json.dump(merged, f, indent=1)
 
 
 if __name__ == "__main__":
