@@ -26,6 +26,7 @@ from openmldb_spark.pipeline import (
     minhash_lsh_pairs, simhash, split_column, dedup_components,
 )
 from openmldb_spark.pipeline.sampling import splitmix_sql
+from openmldb_spark.pipeline import text as TXT
 from openmldb_spark.pipeline.text import (
     char_class_counts, token_count,
 )
@@ -600,7 +601,13 @@ def q_text_features(spark, sf_dir):
     cc = char_class_counts(t)
     toks = F.split(F.trim(t), r"\s+")
     hits = F.size(F.filter(toks, lambda w: F.lower(w).isin(_STOPWORDS)))
-    return docs.select(
+    # Gopher repetition signals via the Arrow kernel (one mapInPandas
+    # pass, zero shuffle): the Catalyst HOF twins re-inline the
+    # tokenizing split per lambda element (interpreted, no CSE) and
+    # measured ~10x slower even on short docs — see
+    # text.append_repetition.
+    rep = TXT.append_repetition(docs.select("doc_id", "text"))
+    return rep.select(
         "doc_id",
         F.length(t).cast("long").alias("n_chars_calc"),
         token_count(t).alias("n_tokens"),
@@ -612,6 +619,8 @@ def q_text_features(spark, sf_dir):
         _r4(F.when(F.size(toks) > 0,
                        hits.cast("double") / F.size(toks).cast("double"))
                 .otherwise(0.0)).alias("stopword_ratio"),
+        _r4("dup_line_frac").alias("dup_line_frac"),
+        _r4("top2gram_frac").alias("top2gram_frac"),
     )
 
 
@@ -1552,8 +1561,36 @@ SELECT doc_id,
          CAST(len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
                               x -> list_contains({_SW_SQL}, x))) AS DOUBLE)
          / CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE)
-       END + 0.000001, 4) AS stopword_ratio
+       END + 0.000001, 4) AS stopword_ratio,
+       ROUND(CASE WHEN len(list_filter(list_transform(
+                    string_split(text, chr(10)), x -> trim(x)),
+                  x -> x <> '')) > 0
+         THEN 1.0 - CAST(len(list_distinct(list_filter(list_transform(
+                      string_split(text, chr(10)), x -> trim(x)),
+                    x -> x <> ''))) AS DOUBLE)
+              / CAST(len(list_filter(list_transform(
+                      string_split(text, chr(10)), x -> trim(x)),
+                    x -> x <> '')) AS DOUBLE)
+         ELSE 0.0 END + 0.000001, 4) AS dup_line_frac,
+       ROUND(COALESCE(CAST(top.topc AS DOUBLE)
+                      / CAST(len(regexp_split_to_array(trim(lower(text)),
+                                                       '\\s+')) - 1
+                             AS DOUBLE),
+                      0.0) + 0.000001, 4) AS top2gram_frac
 FROM documents
+LEFT JOIN (
+  SELECT doc_id, max(c) AS topc
+  FROM (SELECT doc_id, bg, count(*) AS c
+        FROM (SELECT doc_id, w[i] || ' ' || w[i + 1] AS bg
+              FROM (SELECT doc_id,
+                           regexp_split_to_array(trim(lower(text)),
+                                                 '\\s+') AS w
+                    FROM documents) toks,
+                   UNNEST(generate_series(1, len(w) - 1)) AS u(i)
+              WHERE len(w) >= 2)
+        GROUP BY doc_id, bg)
+  GROUP BY doc_id
+) top USING (doc_id)
 """,
         "dedup_exact": """
 SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,

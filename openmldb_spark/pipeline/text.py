@@ -127,6 +127,89 @@ def quality_score(text: Column) -> Column:
     return ((len_score + awl_score + punct_score + sw_score) / 4.0)
 
 
+def dup_line_frac(text: Column) -> Column:
+    """Gopher-style repetition signal (Rae et al. 2021 §A.1.1, public):
+    fraction of non-empty (trimmed) lines that duplicate another line.
+    0.0 when the text has no non-empty lines (incl. NULL text)."""
+    lines = F.filter(F.transform(F.split(F.coalesce(text, F.lit("")),
+                                         "\n"),
+                                 lambda l: F.trim(l)),
+                     lambda l: l != F.lit(""))
+    nl = F.size(lines)
+    return F.when(
+        nl > 0,
+        F.lit(1.0) - F.size(F.array_distinct(lines)).cast("double")
+        / nl.cast("double")).otherwise(F.lit(0.0))
+
+
+def top2gram_frac(text: Column) -> Column:
+    """Fraction of word-bigram occurrences taken by the most frequent
+    bigram (lowercased whitespace tokens) — the Gopher top-2-gram
+    repetition filter. 0.0 with fewer than two tokens (incl. NULL).
+
+    Catalyst path is O(distinct x total) interpreted HOFs per row — fine
+    for spot use; ``text_features``'s kernel mode is the corpus path
+    (Counter per doc, one Arrow batch)."""
+    toks = _tokens(F.lower(text))
+    nb = F.size(toks) - 1
+    # sequence() only evaluated in the nb>=1 branch: CaseWhen evaluates
+    # per-row lazily, and sequence(1, 0) would yield a DESCENDING [1,0]
+    bigrams = F.transform(
+        F.sequence(F.lit(1), nb),
+        lambda i: F.concat(F.element_at(toks, i), F.lit(" "),
+                           F.element_at(toks, i + 1)))
+    top = F.array_max(F.transform(
+        F.array_distinct(bigrams),
+        lambda y: F.size(F.filter(bigrams, lambda x: x == y))))
+    return F.when(nb >= 1, top.cast("double") / nb.cast("double")) \
+            .otherwise(F.lit(0.0))
+
+
+def _rep_signals(s: str) -> tuple[float, float]:
+    """Per-doc repetition signals (kernel twin of ``dup_line_frac`` /
+    ``top2gram_frac``): one pass, dict counter — O(tokens)."""
+    lines = [ln for ln in (x.strip() for x in s.split("\n")) if ln]
+    dlf = (1.0 - len(set(lines)) / len(lines)) if lines else 0.0
+    ws = s.lower().split()
+    if len(ws) < 2:
+        return dlf, 0.0
+    counts: dict[tuple[str, str], int] = {}
+    for bg in zip(ws, ws[1:]):
+        counts[bg] = counts.get(bg, 0) + 1
+    return dlf, max(counts.values()) / (len(ws) - 1)
+
+
+def append_repetition(df: DataFrame, text_col: str = "text",
+                      prefix: str = "") -> DataFrame:
+    """Append ``dup_line_frac`` + ``top2gram_frac`` via one Arrow
+    ``mapInPandas`` pass — the corpus-scale path. The Catalyst
+    expression twins re-inline the tokenizing split per HOF element
+    (no common-subexpression elimination inside lambdas, interpreted
+    CodegenFallback), which measured ~10x slower on 5k short docs and
+    grows superlinearly with doc length; the kernel is O(tokens) per
+    doc and shuffles nothing."""
+    from typing import Iterator
+
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        list(df.schema.fields)
+        + [T.StructField(prefix + "dup_line_frac", T.DoubleType()),
+           T.StructField(prefix + "top2gram_frac", T.DoubleType())])
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            res = pdf.copy()
+            reps = pdf[text_col].fillna("").map(_rep_signals)
+            res[prefix + "dup_line_frac"] = reps.map(
+                lambda p: p[0]).astype("float64")
+            res[prefix + "top2gram_frac"] = reps.map(
+                lambda p: p[1]).astype("float64")
+            yield res
+
+    return df.mapInPandas(batches, out_schema)
+
+
 def fingerprint(text: Column, shingle: int = 8) -> Column:
     """Rolling-hash document fingerprint: min of xxhash64 over all
     ``shingle``-char substrings of the lowercased text (winnowing with a
@@ -171,6 +254,8 @@ def text_features(df: DataFrame, text_col: str = "text",
         "lang_guess": lang_guess(t),
         "quality_score": quality_score(t),
         "fingerprint": fingerprint(t),
+        "dup_line_frac": dup_line_frac(t),
+        "top2gram_frac": top2gram_frac(t),
     }
     out = df
     for name, c in feats.items():
@@ -189,11 +274,12 @@ def _text_features_kernel(df: DataFrame, text_col: str,
     feat_names = ["n_chars", "n_tokens", "n_wordpieces", "n_alpha",
                   "n_digit", "n_punct", "n_space", "n_nonascii",
                   "stopword_ratio", "lang_guess", "quality_score",
-                  "fingerprint"]
+                  "fingerprint", "dup_line_frac", "top2gram_frac"]
     def feat_field(n: str) -> "T.StructField":
         return T.StructField(
             prefix + n,
-            T.DoubleType() if n in ("stopword_ratio", "quality_score")
+            T.DoubleType() if n in ("stopword_ratio", "quality_score",
+                                    "dup_line_frac", "top2gram_frac")
             else (T.StringType() if n == "lang_guess" else T.LongType()))
 
     # withColumn semantics: a feature whose name collides with an input
@@ -280,6 +366,11 @@ def _text_features_kernel(df: DataFrame, text_col: str,
                 return xxh(s)
 
             res[prefix + "fingerprint"] = txt.map(fp).astype("int64")
+            reps = txt.map(_rep_signals)
+            res[prefix + "dup_line_frac"] = reps.map(
+                lambda p: p[0]).astype("float64")
+            res[prefix + "top2gram_frac"] = reps.map(
+                lambda p: p[1]).astype("float64")
             yield res
 
     return df.mapInPandas(batches, out_schema)

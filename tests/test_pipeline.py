@@ -685,3 +685,35 @@ def test_dedup_components_end_to_end_minhash(docs_df):
             for r in dedup_components(pairs).collect()}
     for a, b in zip(pp["id_a"], pp["id_b"]):
         assert comp[a] == comp[b] <= min(a, b)
+
+
+def test_repetition_signals(spark):
+    """Gopher-style repetition filters (public: Rae et al. 2021 §A.1.1):
+    expr path, kernel path, and a hand-computed reference agree."""
+    from openmldb_spark.pipeline.text import (
+        append_repetition, dup_line_frac, text_features, top2gram_frac)
+
+    rows = [
+        (1, "a b\na b\n  \nc"),          # dup line 1/3; top bigram 'a b' 2/4
+        (2, None),                        # -> 0.0 / 0.0
+        (3, ""),                          # -> 0.0 / 0.0
+        (4, "one"),                       # single token -> 0.0
+        (5, "x y x y x z"),               # top bigram 'x y' 2/5
+        (6, "line1\nline1 \nline2"),      # trimmed dup; bigram across \n
+        (7, "w w w w"),                   # 'w w' 3/3 = 1.0
+    ]
+    exp = {1: (1 / 3, 0.5), 2: (0.0, 0.0), 3: (0.0, 0.0), 4: (0.0, 0.0),
+           5: (0.0, 0.4), 6: (1 / 3, 0.5), 7: (0.0, 1.0)}
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+
+    import pyspark.sql.functions as F
+    e = {r["doc_id"]: (r["d"], r["t"]) for r in
+         df.select("doc_id", dup_line_frac(F.col("text")).alias("d"),
+                   top2gram_frac(F.col("text")).alias("t")).collect()}
+    k = {r["doc_id"]: (r["dup_line_frac"], r["top2gram_frac"]) for r in
+         append_repetition(df).collect()}
+    for i, (dlf, t2) in exp.items():
+        assert abs(e[i][0] - dlf) < 1e-9, f"expr dlf doc {i}"
+        assert abs(e[i][1] - t2) < 1e-9, f"expr t2 doc {i}"
+        assert abs(k[i][0] - dlf) < 1e-9, f"kernel dlf doc {i}"
+        assert abs(k[i][1] - t2) < 1e-9, f"kernel t2 doc {i}"
