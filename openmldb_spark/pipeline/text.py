@@ -127,6 +127,32 @@ def quality_score(text: Column) -> Column:
     return ((len_score + awl_score + punct_score + sw_score) / 4.0)
 
 
+# PII masking patterns — conservative, lookaround-free so the same
+# pattern runs identically under Java regex (Spark), RE2 (DuckDB), and
+# Python re (tests). Order matters: ipv4 before phone, or the dotted
+# quad's digit runs would partially match the phone pattern.
+_PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "phone": r"\+?\d[\d() -]{7,}\d",
+}
+
+
+def scrub_pii(text: Column,
+              kinds: tuple[str, ...] = ("email", "ipv4", "phone")) \
+        -> Column:
+    """Mask common PII spans with ``<kind>`` tokens — the standard
+    pre-training scrub stage. Pure chained ``regexp_replace``: JVM-side,
+    whole-stage-codegen, no Python in the path, scale-free (per-row,
+    no shuffle). Patterns are deliberately lookaround-free so the
+    DuckDB oracle and Python reference in tests run the identical
+    regex. Idempotent: masks contain no maskable spans."""
+    out = text
+    for kind in kinds:
+        out = F.regexp_replace(out, _PII_PATTERNS[kind], f"<{kind}>")
+    return out
+
+
 def dup_line_frac(text: Column) -> Column:
     """Gopher-style repetition signal (Rae et al. 2021 §A.1.1, public):
     fraction of non-empty (trimmed) lines that duplicate another line.

@@ -717,3 +717,55 @@ def test_repetition_signals(spark):
         assert abs(e[i][1] - t2) < 1e-9, f"expr t2 doc {i}"
         assert abs(k[i][0] - dlf) < 1e-9, f"kernel dlf doc {i}"
         assert abs(k[i][1] - t2) < 1e-9, f"kernel t2 doc {i}"
+
+
+def test_scrub_pii_differential(spark):
+    """scrub_pii masks emails/IPs/phones; Spark (Java regex), DuckDB
+    (RE2), and Python re agree on every case; idempotent; plain text
+    untouched."""
+    import re
+
+    import duckdb
+    import pyspark.sql.functions as F
+
+    from openmldb_spark.pipeline.text import _PII_PATTERNS, scrub_pii
+
+    rows = [
+        (1, "contact bob.smith+x@corp-mail.co.uk today"),
+        (2, "server at 10.0.255.7 rebooted"),
+        (3, "call +1 (555) 123-4567 or 555 987 6543"),
+        (4, "no pii here, just text with @ and 1.2 numbers"),
+        (5, "mixed: a@b.io from 192.168.0.1 dial 0800-123-456-789"),
+        (6, None),
+        (7, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {r["doc_id"]: r["s"] for r in
+           df.select("doc_id",
+                     scrub_pii(F.col("text")).alias("s")).collect()}
+
+    def pyref(s):
+        if s is None:
+            return None
+        for kind in ("email", "ipv4", "phone"):
+            s = re.sub(_PII_PATTERNS[kind], f"<{kind}>", s)
+        return s
+
+    con = duckdb.connect()
+    for i, s in rows:
+        exp = pyref(s)
+        assert got[i] == exp, f"doc {i}: {got[i]!r} vs python {exp!r}"
+        if s is not None:
+            d = s
+            for kind in ("email", "ipv4", "phone"):
+                d = con.execute(
+                    "SELECT regexp_replace(?, ?, ?, 'g')",
+                    [d, _PII_PATTERNS[kind], f"<{kind}>"]).fetchone()[0]
+            assert got[i] == d, f"doc {i}: {got[i]!r} vs duckdb {d!r}"
+    # idempotence
+    again = {r["doc_id"]: r["s"] for r in
+             df.select("doc_id", scrub_pii(
+                 scrub_pii(F.col("text"))).alias("s")).collect()}
+    assert again == got
+    # non-PII untouched
+    assert got[4] == rows[3][1]
