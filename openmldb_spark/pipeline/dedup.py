@@ -71,6 +71,56 @@ def exact_dedup(df: DataFrame, text_col: str = "text",
                  F.count(F.lit(1)).alias("dup_count")))
 
 
+def line_dedup(df: DataFrame, text_col: str = "text",
+               id_col: str = "doc_id", max_occurrences: int = 1,
+               hash_lines: bool = True) -> DataFrame:
+    """Corpus-level line/paragraph dedup (the CCNet / RefinedWeb
+    boilerplate-removal stage, public): every line whose trimmed form
+    occurs more than ``max_occurrences`` times ACROSS THE CORPUS (nav
+    menus, cookie banners, license headers) is dropped from every
+    document; surviving lines are reassembled in original order.
+
+    Returns the input columns with ``text_col`` replaced by the cleaned
+    text (NULL text stays NULL; a doc whose every line is boilerplate
+    becomes ''). Blank/whitespace-only lines are structural, kept as-is
+    and never counted.
+
+    Scale shape: posexplode -> count -> join -> re-aggregate. With
+    ``hash_lines`` (default) the count/join key is ``xxhash64(line)``,
+    so the two count-side shuffles carry 8-byte keys instead of line
+    text; line text itself moves only inside the (id, pos, line)
+    explode, which repartitions by ``id_col`` exactly once for the
+    rebuild. sort_array over (pos, line) structs makes the reassembly
+    order deterministic without a window."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    lines = (df.select(F.col(id_col),
+                       F.posexplode(F.split(t, "\n"))
+                       .alias("__pos", "__line")))
+    key = (F.xxhash64(F.trim("__line")) if hash_lines
+           else F.trim(F.col("__line")))
+    counted = (lines
+               .filter(F.trim("__line") != "")
+               .select(key.alias("__k"))
+               .groupBy("__k")
+               .agg(F.count("*").alias("__c"))
+               .filter(F.col("__c") > max_occurrences))
+    kept = lines.join(counted, key == F.col("__k"), "left_anti")
+    rebuilt = (kept
+               .groupBy(id_col)
+               .agg(F.concat_ws(
+                   "\n",
+                   F.transform(
+                       F.sort_array(F.collect_list(
+                           F.struct("__pos", "__line"))),
+                       lambda s: s["__line"])).alias("__clean")))
+    out_cols = [F.col(c) if c != text_col else
+                F.when(F.col(text_col).isNull(), F.lit(None))
+                .otherwise(F.coalesce(F.col("__clean"), F.lit("")))
+                .alias(text_col)
+                for c in df.columns]
+    return df.join(rebuilt, id_col, "left").select(*out_cols)
+
+
 def _splitmix_vec(x: np.ndarray) -> np.ndarray:
     """Vectorized splitmix64 finalizer over a uint64 array (wrapping).
     The single definition — sampling.py and the DuckDB oracles must

@@ -769,3 +769,58 @@ def test_scrub_pii_differential(spark):
     assert again == got
     # non-PII untouched
     assert got[4] == rows[3][1]
+
+
+def test_line_dedup_differential(spark):
+    """Corpus-level boilerplate-line removal vs a DuckDB oracle; hashed
+    and string join keys agree; NULL/empty/all-boilerplate docs handled."""
+    import duckdb
+    import pandas as pd
+
+    from openmldb_spark.pipeline.dedup import line_dedup
+
+    boiler = "accept cookies to continue"
+    rows = [
+        (1, f"intro one\n{boiler}\nbody text 1"),
+        (2, f"{boiler}\nbody text 2\n\nfooter A"),
+        (3, f"body text 3\n{boiler}\nfooter A"),
+        (4, boiler),                    # all-boilerplate -> ''
+        (5, None),                      # NULL stays NULL
+        (6, ""),                        # empty stays ''
+        (7, "  \nunique line"),         # whitespace line kept
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = line_dedup(df, max_occurrences=2).toPandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    got_str = line_dedup(df, max_occurrences=2, hash_lines=False) \
+        .toPandas().sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, got_str)
+
+    con = duckdb.connect()
+    con.register("docs", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    exp = con.execute("""
+WITH lines AS (
+  SELECT doc_id, i AS pos, ls[i] AS ln
+  FROM (SELECT doc_id, string_split(coalesce(text, ''), chr(10)) AS ls
+        FROM docs),
+       UNNEST(generate_series(1, len(ls))) u(i)),
+boiler AS (
+  SELECT trim(ln) AS k FROM lines WHERE trim(ln) <> ''
+  GROUP BY trim(ln) HAVING count(*) > 2),
+kept AS (SELECT doc_id, pos, ln FROM lines
+         WHERE trim(ln) NOT IN (SELECT k FROM boiler)),
+rebuilt AS (SELECT doc_id, string_agg(ln, chr(10) ORDER BY pos) AS clean
+            FROM kept GROUP BY doc_id)
+SELECT d.doc_id,
+       CASE WHEN d.text IS NULL THEN NULL
+            ELSE coalesce(r.clean, '') END AS text
+FROM docs d LEFT JOIN rebuilt r USING (doc_id) ORDER BY doc_id
+""").fetchdf()
+    for i in range(len(exp)):
+        assert got.loc[i, "text"] == exp.loc[i, "text"] or \
+            (pd.isna(got.loc[i, "text"]) and pd.isna(exp.loc[i, "text"])), \
+            (got.loc[i, "doc_id"], got.loc[i, "text"], exp.loc[i, "text"])
+    # boilerplate occurs 4x (> 2) -> stripped everywhere; footer A 2x kept
+    assert got.loc[0, "text"] == "intro one\nbody text 1"
+    assert got.loc[1, "text"] == "body text 2\n\nfooter A"
+    assert got.loc[3, "text"] == ""
