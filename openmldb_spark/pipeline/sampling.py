@@ -113,6 +113,30 @@ def downsample(df: DataFrame, id_col: str, fraction: float,
     return df.filter(split_hash_udf(seed)(F.col(id_col)) < F.lit(thr))
 
 
+def downsample_per_key(df: DataFrame, id_col: str, key_col: str,
+                       fractions: dict[str, float],
+                       default: float = 1.0, seed: int = 42) -> DataFrame:
+    """Per-key sampling rates — the corpus-mixing primitive (keep 100%
+    of wiki, 30% of common-crawl, ...). Same id-stable splitmix hash as
+    ``downsample``, with the threshold chosen by ``key_col``: join-free,
+    one codegen'd filter, membership independent of partitioning and of
+    other keys' volumes. Keys absent from ``fractions`` keep
+    ``default``."""
+    for k, f in fractions.items():
+        if not 0.0 <= f <= 1.0:
+            raise ValueError(f"fraction for {k!r} must be in [0, 1]")
+    if not 0.0 <= default <= 1.0:
+        raise ValueError("default must be in [0, 1]")
+    thr = None
+    for k, f in fractions.items():
+        hi = F.lit(int(round(f * _RES)))
+        cond = F.col(key_col) == F.lit(k)
+        thr = F.when(cond, hi) if thr is None else thr.when(cond, hi)
+    thr = F.lit(int(round(default * _RES))) if thr is None \
+        else thr.otherwise(F.lit(int(round(default * _RES))))
+    return df.filter(split_hash_udf(seed)(F.col(id_col)) < thr)
+
+
 def cap_per_key(df: DataFrame, keys: Sequence[str], n: int,
                 id_col: str | None = None,
                 order_col: str | None = None,

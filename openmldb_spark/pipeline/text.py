@@ -289,6 +289,82 @@ def text_features(df: DataFrame, text_col: str = "text",
     return out
 
 
+def gopher_quality(df: DataFrame, text_col: str = "text",
+                   min_tokens: int = 50, max_tokens: int = 100_000,
+                   min_avg_word_len: float = 3.0,
+                   max_avg_word_len: float = 10.0,
+                   max_symbol_word_ratio: float = 0.1,
+                   max_bullet_line_frac: float = 0.9,
+                   min_stopword_hits: int = 2,
+                   max_dup_line_frac: float = 0.3,
+                   max_top2gram_frac: float = 0.2,
+                   out_col: str = "gopher_keep",
+                   reasons_col: str | None = "gopher_reasons") \
+        -> DataFrame:
+    """Gopher quality-filter composite (Rae et al. 2021 §A.1, public):
+    appends a boolean ``out_col`` plus (optionally) an array of the
+    rule names a document fails — keep = empty reasons. Thresholds are
+    the paper's defaults, all overridable.
+
+    Rules: token count in [min,max]; mean word length in [min,max];
+    symbol-to-word ratio (``#`` / ``...``) over threshold; fraction of
+    non-empty lines starting with a bullet; minimum stopword hits; and
+    the repetition signals (dup_line_frac / top2gram_frac), computed by
+    the Arrow kernel (``append_repetition``) — everything else is
+    codegen'd Catalyst. NULL text fails min_tokens (kept out), same as
+    an empty doc."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    toks = _tokens(t)
+    ntok = F.size(toks)
+    cc = char_class_counts(t)
+    avg_wl = F.when(ntok > 0,
+                    cc["n_alpha"].cast("double") / ntok.cast("double")) \
+              .otherwise(F.lit(0.0))
+    n_sym = (F.length(t) - F.length(F.regexp_replace(t, r"#", ""))) \
+        + F.size(F.split(t, r"\.\.\.")) - 1
+    sym_ratio = F.when(ntok > 0,
+                       n_sym.cast("double") / ntok.cast("double")) \
+                 .otherwise(F.lit(0.0))
+    lines = F.filter(F.transform(F.split(t, "\n"),
+                                 lambda l: F.trim(l)),
+                     lambda l: l != F.lit(""))
+    n_lines = F.size(lines)
+    bullet_frac = F.when(
+        n_lines > 0,
+        F.size(F.filter(lines, lambda l:
+                        l.startswith("-") | l.startswith("*")
+                        | l.startswith("•"))).cast("double")
+        / n_lines.cast("double")).otherwise(F.lit(0.0))
+    low = _tokens(F.lower(t))
+    sw_hits = F.size(F.filter(low,
+                              lambda w: w.isin(list(_EN_STOPWORDS))))
+
+    rep = append_repetition(df, text_col, prefix="__gq_")
+    rules = [
+        ("too_few_tokens", ntok < F.lit(min_tokens)),
+        ("too_many_tokens", ntok > F.lit(max_tokens)),
+        ("avg_word_len", (avg_wl < F.lit(min_avg_word_len))
+         | (avg_wl > F.lit(max_avg_word_len))),
+        ("symbol_ratio", sym_ratio > F.lit(max_symbol_word_ratio)),
+        ("bullet_lines", bullet_frac > F.lit(max_bullet_line_frac)),
+        ("few_stopwords", sw_hits < F.lit(min_stopword_hits)),
+        ("dup_lines", F.col("__gq_dup_line_frac")
+         > F.lit(max_dup_line_frac)),
+        ("repeated_2grams", F.col("__gq_top2gram_frac")
+         > F.lit(max_top2gram_frac)),
+    ]
+    reasons = F.filter(
+        F.array(*[F.when(cond, F.lit(name)).otherwise(F.lit(None))
+                  for name, cond in rules]),
+        lambda x: x.isNotNull())
+    out = rep.withColumn("__gq_reasons", reasons) \
+             .withColumn(out_col, F.size("__gq_reasons") == 0)
+    if reasons_col is not None:
+        out = out.withColumn(reasons_col, F.col("__gq_reasons"))
+    return out.drop("__gq_reasons", "__gq_dup_line_frac",
+                    "__gq_top2gram_frac")
+
+
 def _text_features_kernel(df: DataFrame, text_col: str,
                           prefix: str) -> DataFrame:
     """Arrow kernel twin of the expression path — same outputs."""

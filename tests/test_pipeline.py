@@ -824,3 +824,66 @@ FROM docs d LEFT JOIN rebuilt r USING (doc_id) ORDER BY doc_id
     assert got.loc[0, "text"] == "intro one\nbody text 1"
     assert got.loc[1, "text"] == "body text 2\n\nfooter A"
     assert got.loc[3, "text"] == ""
+
+
+def test_gopher_quality_rules(spark):
+    """Each Gopher rule trips on a purpose-built doc; a clean doc passes;
+    reasons name exactly the violated rules."""
+    from openmldb_spark.pipeline.text import gopher_quality
+
+    good = ("the quick brown fox jumps over the lazy dog and then it "
+            "runs far away to the forest with a friend of mine that "
+            "carries water for the long trip home again and again so "
+            "they rest near the old stone bridge for a while longer "
+            "before the light fades and the path turns dark and cold")
+    rows = [
+        (1, good),
+        (2, "short text only"),                       # too_few_tokens
+        (3, " ".join(["x"] * 80)),                    # avg_word_len low (+2grams)
+        (4, good + " " + "#" * 1 + " #" * 30),        # symbol_ratio
+        (5, "\n".join(["- item " + str(i) + " of the list to have and hold"
+                       for i in range(20)])),         # bullet_lines
+        (6, " ".join(["zqx" + str(i) for i in range(120)])),  # few_stopwords
+        (7, None),                                    # NULL -> too_few_tokens
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {r["doc_id"]: (r["gopher_keep"], set(r["gopher_reasons"]))
+           for r in gopher_quality(df, min_tokens=40).collect()}
+    assert out[1] == (True, set())
+    assert out[2][0] is False and "too_few_tokens" in out[2][1]
+    assert out[3][0] is False and "avg_word_len" in out[3][1]
+    assert out[4][0] is False and "symbol_ratio" in out[4][1]
+    assert out[5][0] is False and "bullet_lines" in out[5][1]
+    assert out[6][0] is False and "few_stopwords" in out[6][1]
+    assert out[7][0] is False and "too_few_tokens" in out[7][1]
+    # repetition rules trip through the kernel-computed signals
+    rep = (8, "\n".join(["the cat the cat the cat the cat"] * 30))
+    df2 = spark.createDataFrame([rep], "doc_id int, text string")
+    r = gopher_quality(df2, min_tokens=5).collect()[0]
+    assert r["gopher_keep"] is False
+    assert {"dup_lines", "repeated_2grams"} <= set(r["gopher_reasons"])
+
+
+def test_downsample_per_key(spark):
+    """Corpus-mixing rates: per-key keep fractions are id-stable,
+    partition-independent, and within binomial tolerance."""
+    from openmldb_spark.pipeline.sampling import downsample_per_key
+
+    df = spark.range(0, 20000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, "web").otherwise("wiki")
+        .alias("source"))
+    out = downsample_per_key(df, "doc_id", "source",
+                             {"web": 0.3, "wiki": 1.0})
+    counts = {r["source"]: r["n"] for r in
+              out.groupBy("source").agg(F.count("*").alias("n"))
+              .collect()}
+    assert counts["wiki"] == 10000
+    assert abs(counts["web"] - 3000) < 200
+    # id-stable across repartitioning
+    ids_a = sorted(r["doc_id"] for r in out.collect())
+    ids_b = sorted(r["doc_id"] for r in
+                   downsample_per_key(df.repartition(13), "doc_id",
+                                      "source", {"web": 0.3, "wiki": 1.0})
+                   .collect())
+    assert ids_a == ids_b
