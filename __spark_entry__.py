@@ -136,15 +136,16 @@ def q_group_aggregates(spark, sf_dir):
 
 
 def q_topn_frequency(spark, sf_dir):
+    """topn_frequency + top1_ratio over the same grouping, merged into
+    one driver entry (the correctness artifact caps at 50 — both
+    FeatureZero ops share the (user_id, event_type) count so the join
+    is exact)."""
     ev = _t(spark, sf_dir, "events")
-    return A.topn_frequency_agg(ev, ["user_id"], "event_type", 2,
+    topn = A.topn_frequency_agg(ev, ["user_id"], "event_type", 2,
                                 out_col="top2_types")
-
-
-def q_top1_ratio(spark, sf_dir):
-    ev = _t(spark, sf_dir, "events")
-    out = A.top1_ratio_agg(ev, ["user_id"], "event_type")
-    return out.select("user_id", _r4("top1_ratio").alias("top1_ratio"))
+    ratio = (A.top1_ratio_agg(ev, ["user_id"], "event_type")
+             .select("user_id", _r4("top1_ratio").alias("top1_ratio")))
+    return topn.join(ratio, "user_id")
 
 
 def q_cate_count_sum(spark, sf_dir):
@@ -274,24 +275,31 @@ def q_count_eq_current(spark, sf_dir):
     return out.select("event_id", "user_id", "cnt_eq")
 
 
-def q_window_exclude_current_row(spark, sf_dir):
-    spec = WindowSpecFE(["user_id"], "ts", frame="range", start=3_600_000,
-                        end=0, exclude_current_row=True,
-                        tiebreak=("event_id",))
-    out = window_agg(_win_events(spark, sf_dir), spec, [
-        Agg("cnt_w", "count", "value"), Agg("sum_w", "sum", "value")])
-    return out.select("event_id", "user_id", "cnt_w",
-                      _r4("sum_w").alias("sum_w"))
-
-
-def q_window_exclude_current_time(spark, sf_dir):
-    spec = WindowSpecFE(["user_id"], "ts", frame="range", start=3_600_000,
-                        end=0, exclude_current_time=True,
-                        tiebreak=("event_id",))
-    out = window_agg(_win_events(spark, sf_dir), spec, [
-        Agg("cnt_w", "count", "value"), Agg("sum_w", "sum", "value")])
-    return out.select("event_id", "user_id", "cnt_w",
-                      _r4("sum_w").alias("sum_w"))
+def q_window_exclude(spark, sf_dir):
+    """EXCLUDE CURRENT_ROW and EXCLUDE CURRENT_TIME over the same 1h
+    RANGE frame, merged into one driver entry (50-cap); both kernel
+    paths still execute — the two window_agg calls run independently
+    and join on the unique event id."""
+    ev = _win_events(spark, sf_dir)
+    row_spec = WindowSpecFE(["user_id"], "ts", frame="range",
+                            start=3_600_000, end=0,
+                            exclude_current_row=True,
+                            tiebreak=("event_id",))
+    time_spec = WindowSpecFE(["user_id"], "ts", frame="range",
+                             start=3_600_000, end=0,
+                             exclude_current_time=True,
+                             tiebreak=("event_id",))
+    a = window_agg(ev, row_spec, [
+        Agg("cnt_xrow", "count", "value"),
+        Agg("sum_xrow", "sum", "value")])
+    b = window_agg(ev, time_spec, [
+        Agg("cnt_xtime", "count", "value"),
+        Agg("sum_xtime", "sum", "value")])
+    return (a.select("event_id", "user_id", "cnt_xrow",
+                     _r4("sum_xrow").alias("sum_xrow"))
+            .join(b.select("event_id", "cnt_xtime",
+                           _r4("sum_xtime").alias("sum_xtime")),
+                  "event_id"))
 
 
 def q_window_union(spark, sf_dir):
@@ -703,12 +711,26 @@ def q_dataset_split(spark, sf_dir):
     return out.select("doc_id", "split")
 
 
-def q_cap_per_key(spark, sf_dir):
-    # hot-key mitigation: at most 5 events per user, chosen by the
-    # deterministic hash order of the event id (uniform, id-stable)
+def q_cap_mix_sample(spark, sf_dir):
+    """cap_per_key + downsample_per_key survivors over events, union-
+    tagged into one driver entry (50-cap). 'cap' rows: hot-key
+    mitigation, at most 5 events per user chosen by deterministic hash
+    order of the event id. 'mix' rows: the corpus-mixing sampler —
+    keep 100% of purchases, 50% of views, 10% of errors, 25% default;
+    membership is id-stable splitmix64 (join-free, one codegen'd
+    filter), reproduced bit-for-bit by the oracle via splitmix_sql."""
+    from openmldb_spark.pipeline.sampling import downsample_per_key
     ev = _t(spark, sf_dir, "events")
-    out = cap_per_key(ev, ["user_id"], 5, id_col="event_id")
-    return out.select("user_id", "event_id")
+    cap = (cap_per_key(ev, ["user_id"], 5, id_col="event_id")
+           .select(F.lit("cap").alias("op"), "event_id", "user_id",
+                   "event_type"))
+    mix = (downsample_per_key(
+               ev, "event_id", "event_type",
+               {"purchase": 1.0, "view": 0.5, "error": 0.1},
+               default=0.25)
+           .select(F.lit("mix").alias("op"), "event_id", "user_id",
+                   "event_type"))
+    return cap.unionByName(mix)
 
 
 def q_ivf_topk(spark, sf_dir):
@@ -752,6 +774,69 @@ def q_media_features(spark, sf_dir):
           for i in range(8)])
 
 
+def q_text_curation(spark, sf_dir):
+    """line_dedup + scrub_pii merged into one driver entry (50-cap),
+    both over deterministically derived corpora so the gate is
+    non-trivial on the single-line synthetic documents.
+
+    clean_text: corpus-level boilerplate-line removal (pipeline/dedup.
+    line_dedup) over a 3-line view — every doc gets the same nav-banner
+    line (dropped corpus-wide), its 48-char text prefix (dropped only
+    where another doc shares the prefix), and a doc-unique footer
+    (always kept). The oracle counts trimmed lines directly; the engine
+    counts by xxhash64(line) so only 8-byte keys shuffle — identical
+    result.
+
+    scrubbed_text: PII masking (pipeline/text.scrub_pii) over text that
+    plants one email, one dotted quad, and one phone number per doc;
+    the chained lookaround-free regexes run identically under Java
+    regex (Spark) and RE2 (the oracle reuses the exact same pattern
+    strings)."""
+    from openmldb_spark.pipeline.dedup import line_dedup
+    docs = _t(spark, sf_dir, "documents")
+    lined = docs.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.lit("NAV HOME | ABOUT | COOKIES"),
+            F.substring("text", 1, 48),
+            F.concat(F.lit("doc footer "),
+                     F.col("doc_id").cast("string")),
+        ).alias("text"))
+    clean = (line_dedup(lined, "text", "doc_id", max_occurrences=1)
+             .select("doc_id", F.col("text").alias("clean_text")))
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.substring("text", 1, 40),
+            F.lit(" contact user"), F.col("doc_id").cast("string"),
+            F.lit("@mail.example.com or 10."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".0.1 or call +1 415 555-01"),
+            F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
+        ).alias("text"))
+    scrubbed = planted.select(
+        "doc_id", TXT.scrub_pii(F.col("text")).alias("scrubbed_text"))
+    return clean.join(scrubbed, "doc_id")
+
+
+def q_gopher_quality(spark, sf_dir):
+    """Gopher composite quality filter (pipeline/text.gopher_quality;
+    Rae et al. 2021 §A.1) with thresholds tuned so the synthetic
+    word-salad corpus splits on four rules (token count, avg word
+    length, stopword hits, repeated 2-grams); the reasons array is
+    flattened to a CSV string for the driver's canonicalizer."""
+    docs = _t(spark, sf_dir, "documents")
+    out = TXT.gopher_quality(
+        docs.select("doc_id", "text"),
+        min_tokens=30, max_tokens=80,
+        min_avg_word_len=3.0, max_avg_word_len=4.6,
+        min_stopword_hits=3, max_top2gram_frac=0.05)
+    return out.select(
+        "doc_id", "gopher_keep",
+        F.array_join("gopher_reasons", ",").alias("reasons"))
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -776,7 +861,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_summary": q_pricing_summary,
         "group_aggregates": q_group_aggregates,
         "topn_frequency": q_topn_frequency,
-        "top1_ratio": q_top1_ratio,
         "cate_count_sum": q_cate_count_sum,
         "table_udaf_sql": q_table_udaf_sql,
         "window_rows": q_window_rows,
@@ -787,8 +871,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_median": q_window_median,
         "nested_udaf": q_nested_udaf,
         "count_eq_current": q_count_eq_current,
-        "window_exclude_current_row": q_window_exclude_current_row,
-        "window_exclude_current_time": q_window_exclude_current_time,
+        "window_exclude": q_window_exclude,
         "window_union": q_window_union,
         "instance_not_in_window": q_instance_not_in_window,
         "window_positional": q_window_positional,
@@ -818,11 +901,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_topk": q_lsh_topk,
         "ivf_topk": q_ivf_topk,
         "dataset_split": q_dataset_split,
-        "cap_per_key": q_cap_per_key,
+        "cap_mix_sample": q_cap_mix_sample,
         "contamination": q_contamination,
         "pack_offsets": q_pack_offsets,
         "near_dup_pairs": q_near_dup_pairs,
         "media_features": q_media_features,
+        "text_curation": q_text_curation,
+        "gopher_quality": q_gopher_quality,
     }
 
 
@@ -1117,6 +1202,128 @@ _LATERAL_VIS_STRICT = ("(epoch_ms(e2.ts) < epoch_ms(e.ts) OR "
                        "(epoch_ms(e2.ts) = epoch_ms(e.ts) AND e2.event_id < e.event_id))")
 
 
+def _text_curation_oracle_sql() -> str:
+    """Twin of q_text_curation. clean_text: same derived 3-line corpus,
+    then the line_dedup contract in plain SQL — explode with position,
+    drop every trimmed non-empty line whose corpus count exceeds 1,
+    reassemble in original order (blank lines are structural — kept,
+    never counted). scrubbed_text: plants the same synthetic PII, then
+    chains the ENGINE'S OWN pattern strings (text._PII_PATTERNS,
+    lookaround-free by design) through DuckDB regexp_replace(..., 'g')
+    in the same kind order."""
+    from openmldb_spark.pipeline.text import _PII_PATTERNS
+    scrub = ("substr(text, 1, 40) || ' contact user' || doc_id"
+             " || '@mail.example.com or 10.' || (doc_id % 256)"
+             " || '.0.1 or call +1 415 555-01'"
+             " || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')")
+    for kind in ("email", "ipv4", "phone"):
+        pat = _PII_PATTERNS[kind].replace("'", "''")
+        scrub = f"regexp_replace({scrub}, '{pat}', '<{kind}>', 'g')"
+    return f"""
+WITH src AS (
+  SELECT doc_id,
+         'NAV HOME | ABOUT | COOKIES' || chr(10) || substr(text, 1, 48)
+         || chr(10) || 'doc footer ' || doc_id AS text
+  FROM documents
+),
+ex AS (
+  SELECT doc_id, CAST(u.i AS BIGINT) AS pos,
+         ls[CAST(u.i AS INT)] AS line
+  FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM src),
+       UNNEST(generate_series(1, len(ls))) AS u(i)
+),
+dup AS (
+  SELECT trim(line) AS k FROM ex WHERE trim(line) <> ''
+  GROUP BY 1 HAVING count(*) > 1
+)
+SELECT s.doc_id, COALESCE(r.clean, '') AS clean_text,
+       p.scrubbed_text
+FROM src s
+LEFT JOIN (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean
+  FROM ex
+  WHERE trim(line) = '' OR trim(line) NOT IN (SELECT k FROM dup)
+  GROUP BY doc_id) r USING (doc_id)
+JOIN (SELECT doc_id, {scrub} AS scrubbed_text
+      FROM documents) p USING (doc_id)
+"""
+
+
+def _gopher_oracle_sql() -> str:
+    """All eight gopher_quality rules in DuckDB SQL with q_gopher_quality's
+    thresholds; reason names and order match text.gopher_quality's rule
+    list so the CSV string hashes align."""
+    return f"""
+WITH base AS (SELECT doc_id, COALESCE(text, '') AS t FROM documents),
+tok AS (
+  SELECT doc_id, t,
+         CASE WHEN strlen(trim(t)) = 0 THEN CAST([] AS VARCHAR[])
+              ELSE regexp_split_to_array(trim(t), '\\s+') END AS toks,
+         CASE WHEN strlen(trim(t)) = 0 THEN CAST([] AS VARCHAR[])
+              ELSE regexp_split_to_array(trim(lower(t)), '\\s+')
+         END AS low
+  FROM base
+),
+bgtop AS (
+  SELECT doc_id, max(c) AS topc
+  FROM (SELECT doc_id, bg, count(*) AS c
+        FROM (SELECT doc_id, low[i] || ' ' || low[i + 1] AS bg
+              FROM tok, UNNEST(generate_series(1, len(low) - 1)) AS u(i)
+              WHERE len(low) >= 2)
+        GROUP BY doc_id, bg)
+  GROUP BY doc_id
+),
+m AS (
+  SELECT tok.doc_id,
+    len(toks) AS ntok,
+    strlen(t) - strlen(regexp_replace(t, '[A-Za-z]', '', 'g'))
+      AS n_alpha,
+    (strlen(t) - strlen(replace(t, '#', '')))
+      + len(string_split(t, '...')) - 1 AS n_sym,
+    list_filter(list_transform(string_split(t, chr(10)), x -> trim(x)),
+                x -> x <> '') AS lines,
+    len(list_filter(low, x -> list_contains({_SW_SQL}, x))) AS sw_hits,
+    COALESCE(CAST(bgtop.topc AS DOUBLE)
+             / CAST(len(low) - 1 AS DOUBLE), 0.0) AS t2g
+  FROM tok LEFT JOIN bgtop USING (doc_id)
+),
+r AS (
+  SELECT doc_id,
+    ntok < 30 AS r_few, ntok > 80 AS r_many,
+    (CASE WHEN ntok > 0 THEN CAST(n_alpha AS DOUBLE) / ntok
+          ELSE 0.0 END < 3.0
+     OR CASE WHEN ntok > 0 THEN CAST(n_alpha AS DOUBLE) / ntok
+             ELSE 0.0 END > 4.6) AS r_awl,
+    CASE WHEN ntok > 0 THEN CAST(n_sym AS DOUBLE) / ntok
+         ELSE 0.0 END > 0.1 AS r_sym,
+    CASE WHEN len(lines) > 0 THEN
+      CAST(len(list_filter(lines, x -> x LIKE '-%' OR x LIKE '*%'
+                                       OR x LIKE '•%')) AS DOUBLE)
+      / len(lines) ELSE 0.0 END > 0.9 AS r_bul,
+    sw_hits < 3 AS r_sw,
+    CASE WHEN len(lines) > 0 THEN
+      1.0 - CAST(len(list_distinct(lines)) AS DOUBLE) / len(lines)
+      ELSE 0.0 END > 0.3 AS r_dup,
+    t2g > 0.05 AS r_2g
+  FROM m
+)
+SELECT doc_id,
+  NOT (r_few OR r_many OR r_awl OR r_sym OR r_bul OR r_sw OR r_dup
+       OR r_2g) AS gopher_keep,
+  COALESCE(array_to_string(list_filter([
+    CASE WHEN r_few THEN 'too_few_tokens' END,
+    CASE WHEN r_many THEN 'too_many_tokens' END,
+    CASE WHEN r_awl THEN 'avg_word_len' END,
+    CASE WHEN r_sym THEN 'symbol_ratio' END,
+    CASE WHEN r_bul THEN 'bullet_lines' END,
+    CASE WHEN r_sw THEN 'few_stopwords' END,
+    CASE WHEN r_dup THEN 'dup_lines' END,
+    CASE WHEN r_2g THEN 'repeated_2grams' END], x -> x IS NOT NULL),
+    ','), '') AS reasons
+FROM r
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "pricing_summary": """
@@ -1171,21 +1378,21 @@ SELECT base.user_id, base.cnt_cate, base.avgc, tk.top2_sum
 FROM base LEFT JOIN tk USING (user_id)
 """,
         "topn_frequency": """
-SELECT user_id, string_agg(event_type, ',' ORDER BY rn) AS top2_types
-FROM (
-  SELECT user_id, event_type,
-         row_number() OVER (PARTITION BY user_id
-                            ORDER BY count(*) DESC, event_type) AS rn
-  FROM events GROUP BY user_id, event_type
-) WHERE rn <= 2 GROUP BY user_id
-""",
-        "top1_ratio": """
-SELECT user_id,
-       ROUND(CAST(max(cnt) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE) + 0.000001, 4)
-         AS top1_ratio
-FROM (SELECT user_id, event_type, count(*) AS cnt
-      FROM events GROUP BY user_id, event_type)
-GROUP BY user_id
+WITH g AS (SELECT user_id, event_type, count(*) AS cnt
+           FROM events GROUP BY user_id, event_type)
+SELECT t.user_id, t.top2_types, r.top1_ratio
+FROM (SELECT user_id,
+             string_agg(event_type, ',' ORDER BY rn) AS top2_types
+      FROM (SELECT user_id, event_type,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY cnt DESC, event_type)
+                     AS rn
+            FROM g)
+      WHERE rn <= 2 GROUP BY user_id) t
+JOIN (SELECT user_id,
+             ROUND(CAST(max(cnt) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE)
+                   + 0.000001, 4) AS top1_ratio
+      FROM g GROUP BY user_id) r USING (user_id)
 """,
         "cate_count_sum": """
 SELECT user_id,
@@ -1284,30 +1491,26 @@ FROM events e JOIN events f
  AND (f.event_id % 5) = (e.event_id % 5)
 GROUP BY e.event_id, e.user_id
 """,
-        "window_exclude_current_row": f"""
+        "window_exclude": f"""
 SELECT e.event_id, e.user_id,
        (SELECT count(e2.value) FROM events e2
         WHERE e2.user_id = e.user_id
           AND epoch_ms(e2.ts) >= epoch_ms(e.ts) - 3600000
-          AND {_LATERAL_VIS_STRICT}) AS cnt_w,
+          AND {_LATERAL_VIS_STRICT}) AS cnt_xrow,
        (SELECT ROUND(sum(e2.value) + 0.000001, 4) FROM events e2
         WHERE e2.user_id = e.user_id
           AND epoch_ms(e2.ts) >= epoch_ms(e.ts) - 3600000
-          AND {_LATERAL_VIS_STRICT}) AS sum_w
-FROM events e
-""",
-        "window_exclude_current_time": """
-SELECT e.event_id, e.user_id,
+          AND {_LATERAL_VIS_STRICT}) AS sum_xrow,
        (SELECT count(e2.value) FROM events e2
         WHERE e2.user_id = e.user_id
           AND epoch_ms(e2.ts) >= epoch_ms(e.ts) - 3600000
           AND (epoch_ms(e2.ts) < epoch_ms(e.ts)
-               OR e2.event_id = e.event_id)) AS cnt_w,
+               OR e2.event_id = e.event_id)) AS cnt_xtime,
        (SELECT ROUND(sum(e2.value) + 0.000001, 4) FROM events e2
         WHERE e2.user_id = e.user_id
           AND epoch_ms(e2.ts) >= epoch_ms(e.ts) - 3600000
           AND (epoch_ms(e2.ts) < epoch_ms(e.ts)
-               OR e2.event_id = e.event_id)) AS sum_w
+               OR e2.event_id = e.event_id)) AS sum_xtime
 FROM events e
 """,
         "window_union": """
@@ -1624,13 +1827,21 @@ SELECT doc_id,
             ELSE 'test' END AS split
 FROM documents
 """,
-        "cap_per_key": f"""
-SELECT user_id, event_id
-FROM (SELECT user_id, event_id,
+        "cap_mix_sample": f"""
+SELECT 'cap' AS op, event_id, user_id, event_type
+FROM (SELECT user_id, event_id, event_type,
              row_number() OVER (PARTITION BY user_id
                  ORDER BY {splitmix_sql('event_id')}, event_id) AS rn
       FROM events)
 WHERE rn <= 5
+UNION ALL
+SELECT 'mix' AS op, event_id, user_id, event_type
+FROM events
+WHERE {splitmix_sql('event_id')} <
+      CASE WHEN event_type = 'purchase' THEN 1000000
+           WHEN event_type = 'view' THEN 500000
+           WHEN event_type = 'error' THEN 100000
+           ELSE 250000 END
 """,
         "ivf_topk": """
 WITH q AS (SELECT vec_id, embedding FROM embeddings
@@ -1674,6 +1885,8 @@ SELECT doc_id, n_tokens, tok_start,
              ELSE tok_start // 512 END)::BIGINT AS chunk_last
 FROM cum
 """,
+        "text_curation": _text_curation_oracle_sql(),
+        "gopher_quality": _gopher_oracle_sql(),
         "contamination": _contamination_oracle_sql(),
         "minhash_pairs": _minhash_oracle_sql(),
         "dedup_clusters": _dedup_clusters_oracle_sql(),
