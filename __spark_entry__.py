@@ -678,13 +678,29 @@ def q_lsh_topk(spark, sf_dir):
 
 
 def q_pack_offsets(spark, sf_dir):
-    # context-window packing: global token offset per doc via the
-    # two-phase distributed prefix sum (range shuffle + per-partition
-    # totals + kernel cumsum) — never a single-task global window
-    from openmldb_spark.pipeline.packing import pack_offsets
+    """Context-window packing: global token offset per doc via the
+    two-phase distributed prefix sum (range shuffle + per-partition
+    totals + kernel cumsum) — never a single-task global window — plus
+    the materialized chunk map (pack_chunks: sequence+explode over
+    [chunk_first, chunk_last]) folded back per doc as n_chunks /
+    covered_tokens. The oracle derives both from closed-form window
+    arithmetic, so any explode slip (off-by-one chunk, leaked or lost
+    slice tokens) hash-mismatches."""
+    from openmldb_spark.pipeline.packing import pack_chunks, pack_offsets
 
     docs = _t(spark, sf_dir, "documents")
-    return pack_offsets(docs, chunk_tokens=512)
+    off = pack_offsets(docs, chunk_tokens=512)
+    ch = (pack_chunks(docs, chunk_tokens=512, offsets=off)
+          .groupBy("doc_id")
+          .agg(F.count("*").alias("n_chunks"),
+               F.sum(F.col("doc_slice_end") - F.col("doc_slice_start"))
+               .alias("covered_tokens")))
+    return (off.join(ch, "doc_id", "left")
+            .select("doc_id", "n_tokens", "tok_start", "chunk_first",
+                    "chunk_last",
+                    F.coalesce("n_chunks", F.lit(0)).alias("n_chunks"),
+                    F.coalesce("covered_tokens", F.lit(0))
+                    .alias("covered_tokens")))
 
 
 def q_contamination(spark, sf_dir):
@@ -1882,7 +1898,11 @@ cum AS (
 SELECT doc_id, n_tokens, tok_start,
        (tok_start // 512)::BIGINT AS chunk_first,
        (CASE WHEN n_tokens > 0 THEN (tok_start + n_tokens - 1) // 512
-             ELSE tok_start // 512 END)::BIGINT AS chunk_last
+             ELSE tok_start // 512 END)::BIGINT AS chunk_last,
+       (CASE WHEN n_tokens > 0 THEN
+             (tok_start + n_tokens - 1) // 512 - tok_start // 512 + 1
+             ELSE 0 END)::BIGINT AS n_chunks,
+       n_tokens AS covered_tokens
 FROM cum
 """,
         "text_curation": _text_curation_oracle_sql(),

@@ -22,5 +22,6 @@ from openmldb_spark.pipeline.decontam import (  # noqa: F401
     contamination_scores,
 )
 from openmldb_spark.pipeline.packing import (  # noqa: F401
+    pack_chunks,
     pack_offsets,
 )

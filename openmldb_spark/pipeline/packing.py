@@ -115,3 +115,49 @@ def pack_offsets(df: DataFrame, id_col: str = "doc_id",
 
     return (d.withColumn("__pid", pid)
             .mapInPandas(batches, schema))
+
+
+def pack_chunks(df: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text", chunk_tokens: int = 2048,
+                num_partitions: int | None = None,
+                tokenizer_fn=None,
+                offsets: DataFrame | None = None) -> DataFrame:
+    """Materialized doc -> training-sequence mapping: one row per
+    (chunk_id, doc) pair saying which token slice of the doc lands in
+    which fixed-size training sequence — the table a sharder actually
+    writes when assembling packed pretraining examples.
+
+    Columns: ``chunk_id``; ``id_col``; ``doc_slice_start`` /
+    ``doc_slice_end`` (the doc-local token span carried by this chunk,
+    end exclusive); ``chunk_pos`` (where inside the chunk the slice
+    begins). Invariants (pinned by tests): per doc the slices are
+    contiguous and sum to ``n_tokens``; per chunk the slices are
+    disjoint and total at most ``chunk_tokens``.
+
+    Scale shape: pure Catalyst on top of :func:`pack_offsets` —
+    ``sequence(chunk_first, chunk_last)`` + ``explode`` + codegen'd
+    arithmetic, so the only data movement is pack_offsets' one range
+    shuffle; fan-out is bounded by ceil(n_tokens/chunk_tokens)+1 rows
+    per doc. Zero-token docs occupy no span and are dropped.
+
+    Pass ``offsets`` (a prior :func:`pack_offsets` result for the SAME
+    df/chunk_tokens) to reuse its range shuffle + totals collect
+    instead of recomputing the prefix sum."""
+    c = chunk_tokens
+    off = offsets if offsets is not None else pack_offsets(
+        df, id_col, text_col, c, num_partitions, tokenizer_fn)
+    ch = F.col("chunk_id")
+    start = F.col("tok_start")
+    end = start + F.col("n_tokens")
+    return (off.filter(F.col("n_tokens") > 0)
+            .select(F.col(id_col), "n_tokens", "tok_start",
+                    F.explode(F.sequence("chunk_first", "chunk_last"))
+                    .alias("chunk_id"))
+            .select(
+                "chunk_id", id_col,
+                F.greatest(ch * c - start, F.lit(0).cast("bigint"))
+                .alias("doc_slice_start"),
+                (F.least((ch + 1) * c, end) - start)
+                .alias("doc_slice_end"),
+                F.greatest(start - ch * c, F.lit(0).cast("bigint"))
+                .alias("chunk_pos")))

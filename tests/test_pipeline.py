@@ -597,6 +597,54 @@ def test_pack_offsets_pluggable_tokenizer(spark, docs_df):
             .toPandas()
 
 
+def test_pack_chunks_slice_invariants(spark, docs_df):
+    """pack_chunks materializes the doc -> training-sequence slices;
+    pin it against a brute-force numpy packing of the concatenated
+    token stream (chunk size 8 forces multi-chunk docs on the
+    fixture's 8-9-token texts)."""
+    import numpy as np
+    from openmldb_spark.pipeline.packing import pack_chunks
+    from openmldb_spark.pipeline.text import token_count
+
+    c = 8
+    out = pack_chunks(docs_df, chunk_tokens=c, num_partitions=3) \
+        .toPandas().sort_values(["chunk_id", "doc_id"]) \
+        .reset_index(drop=True)
+    ref = docs_df.select("doc_id", token_count("text").alias("n")) \
+        .toPandas().sort_values("doc_id").reset_index(drop=True)
+    n = ref.n.to_numpy(dtype=np.int64)
+    starts = np.concatenate(([0], np.cumsum(n)[:-1]))
+
+    # brute force: walk every doc's global token interval chunk by chunk
+    exp = []
+    for did, nt, st in zip(ref.doc_id, n, starts):
+        for ch in range(int(st // c), int((st + nt - 1) // c) + 1 if nt
+                        else int(st // c)):
+            lo = max(ch * c - st, 0)
+            hi = min((ch + 1) * c - st, nt)
+            exp.append((ch, did, lo, hi, max(st - ch * c, 0)))
+    exp.sort()
+    got = [tuple(r) for r in out[["chunk_id", "doc_id",
+                                  "doc_slice_start", "doc_slice_end",
+                                  "chunk_pos"]].itertuples(index=False)]
+    assert got == exp
+
+    # per-doc: slices contiguous and sum to n_tokens (empty docs absent)
+    by_doc = out.groupby("doc_id")
+    covered = by_doc.apply(
+        lambda g: (g.doc_slice_end - g.doc_slice_start).sum(),
+        include_groups=False)
+    for did, nt in zip(ref.doc_id, n):
+        assert covered.get(did, 0) == nt
+    # per chunk: disjoint slices totalling at most chunk_tokens
+    per_chunk = out.groupby("chunk_id").apply(
+        lambda g: (g.doc_slice_end - g.doc_slice_start).sum(),
+        include_groups=False)
+    assert (per_chunk <= c).all()
+    # every chunk except the last is exactly full
+    assert (per_chunk.iloc[:-1] == c).all()
+
+
 def test_text_features_null_text_modes_agree(spark):
     from openmldb_spark.pipeline.text import text_features
     df = spark.createDataFrame(
