@@ -609,12 +609,13 @@ def q_text_features(spark, sf_dir):
     cc = char_class_counts(t)
     toks = F.split(F.trim(t), r"\s+")
     hits = F.size(F.filter(toks, lambda w: F.lower(w).isin(_STOPWORDS)))
-    # Gopher repetition signals via the Arrow kernel (one mapInPandas
-    # pass, zero shuffle): the Catalyst HOF twins re-inline the
-    # tokenizing split per lambda element (interpreted, no CSE) and
-    # measured ~10x slower even on short docs — see
-    # text.append_repetition.
-    rep = TXT.append_repetition(docs.select("doc_id", "text"))
+    # Repetition signals + lang-id + quality score via ONE Arrow
+    # kernel pass (zero shuffle, text serialized to Python once): the
+    # Catalyst HOF twins re-inline the tokenizing split per lambda
+    # element (interpreted, no CSE) and measured ~5-10x slower even on
+    # short docs — see text.append_lang_quality / append_repetition.
+    rep = TXT.append_lang_quality(docs.select("doc_id", "text"),
+                                  with_repetition=True)
     return rep.select(
         "doc_id",
         F.length(t).cast("long").alias("n_chars_calc"),
@@ -627,6 +628,13 @@ def q_text_features(spark, sf_dir):
         _r4(F.when(F.size(toks) > 0,
                        hits.cast("double") / F.size(toks).cast("double"))
                 .otherwise(0.0)).alias("stopword_ratio"),
+        # heuristic language ID + composite quality score via the
+        # Arrow kernel (append_lang_quality — the Column twins'
+        # interpreted HOF filters measured ~5x slower at sf0.1);
+        # aliased lang_id because the documents table already carries
+        # a source `lang` column
+        F.col("lang_guess").alias("lang_id"),
+        _r4("quality_score").alias("quality_score"),
         _r4("dup_line_frac").alias("dup_line_frac"),
         _r4("top2gram_frac").alias("top2gram_frac"),
     )
@@ -1340,6 +1348,56 @@ FROM r
 """
 
 
+def _lang_qs_sql() -> tuple[str, str]:
+    """DuckDB twins of text.lang_guess / text.quality_score over the
+    raw ``text`` column, built from the engine's own _LANG_MARKERS so
+    marker lists can't drift. Tie-break mirrors the Column path:
+    strictly-greater wins, first language in _LANG_MARKERS order wins
+    ties; non-ASCII-heavy -> 'other'; all-zero hits -> 'unknown'."""
+    from openmldb_spark.pipeline.text import _LANG_MARKERS
+    low = "regexp_split_to_array(trim(lower(text)), '\\s+')"
+    hits = {}
+    for lg, markers in _LANG_MARKERS.items():
+        lst = "[" + ", ".join(f"'{w}'" for w in markers) + "]"
+        hits[lg] = f"len(list_filter({low}, x -> list_contains({lst}, x)))"
+    langs = list(_LANG_MARKERS)
+    na = ("(length(text) - length(regexp_replace(text, "
+          "'[^\\x00-\\x7F]', '', 'g')))")
+    cases = []
+    for i, lg in enumerate(langs[:-1]):
+        conds = " AND ".join(f"{hits[lg]} >= {hits[o]}"
+                             for o in langs[i + 1:])
+        cases.append(f"WHEN {conds} THEN '{lg}'")
+    lang_sql = (f"CASE WHEN {na} * 3 > length(text) THEN 'other' "
+                f"WHEN greatest({', '.join(hits.values())}) = 0 "
+                f"THEN 'unknown' " + " ".join(cases)
+                + f" ELSE '{langs[-1]}' END")
+
+    ntok = ("CASE WHEN length(trim(text)) = 0 THEN 0 "
+            "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END")
+    n_alpha = ("(length(text) - length(regexp_replace(text, "
+               "'[A-Za-z]', '', 'g')))")
+    n_punct = ("(length(text) - length(regexp_replace(text, "
+               "'[.,!?;:''\"()\\[\\]{}-]', '', 'g')))")
+    sw_hits = (f"len(list_filter({low}, "
+               f"x -> list_contains({_SW_SQL}, x)))")
+    awl = (f"(CASE WHEN {ntok} > 0 THEN CAST({n_alpha} AS DOUBLE) "
+           f"/ {ntok} ELSE 0.0 END)")
+    pr = ("(CASE WHEN length(text) > 0 THEN CAST(" + n_punct
+          + " AS DOUBLE) / length(text) ELSE 0.0 END)")
+    swr = (f"(CASE WHEN {ntok} > 0 THEN CAST({sw_hits} AS DOUBLE) "
+           f"/ {ntok} ELSE 0.0 END)")
+    qs_sql = (f"ROUND((least(length(text) / 500.0, 1.0) "
+              f"+ CASE WHEN {awl} >= 3.0 AND {awl} <= 10.0 "
+              f"THEN 1.0 ELSE 0.5 END "
+              f"+ CASE WHEN {pr} < 0.1 THEN 1.0 ELSE 0.5 END "
+              f"+ least({swr} * 5.0, 1.0)) / 4.0 + 0.000001, 4)")
+    return lang_sql, qs_sql
+
+
+_LANG_SQL, _QS_SQL = _lang_qs_sql()
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "pricing_summary": """
@@ -1781,6 +1839,8 @@ SELECT doc_id,
                               x -> list_contains({_SW_SQL}, x))) AS DOUBLE)
          / CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE)
        END + 0.000001, 4) AS stopword_ratio,
+       {_LANG_SQL} AS lang_id,
+       {_QS_SQL} AS quality_score,
        ROUND(CASE WHEN len(list_filter(list_transform(
                     string_split(text, chr(10)), x -> trim(x)),
                   x -> x <> '')) > 0

@@ -112,6 +112,8 @@ def quality_score(text: Column) -> Column:
     """[0,1] doc-quality heuristic: length sweet-spot, word length
     plausibility, punctuation moderation, stopword presence. Deterministic,
     monotone in each component."""
+    # NULL doc scores like an empty one (the kernel twin fillna("")s)
+    text = F.coalesce(text, F.lit(""))
     n = F.length(text).cast("double")
     toks = token_count(text).cast("double")
     cc = char_class_counts(text)
@@ -231,6 +233,95 @@ def append_repetition(df: DataFrame, text_col: str = "text",
                 lambda p: p[0]).astype("float64")
             res[prefix + "top2gram_frac"] = reps.map(
                 lambda p: p[1]).astype("float64")
+            yield res
+
+    return df.mapInPandas(batches, out_schema)
+
+
+def append_lang_quality(df: DataFrame, text_col: str = "text",
+                        prefix: str = "",
+                        with_repetition: bool = False) -> DataFrame:
+    """Append ``lang_guess`` + ``quality_score`` via one Arrow
+    ``mapInPandas`` pass — the corpus-scale path, same trade-off as
+    ``append_repetition``: the Column twins (``lang_guess`` /
+    ``quality_score``) build one interpreted higher-order filter per
+    language marker list with the tokenizing split re-inlined per
+    element (measured ~5x slower on 5k short docs); the kernel is one
+    tokenize + set-membership pass per doc and shuffles nothing.
+    Semantics are identical to the Column path (asserted in tests):
+    strictly-greater marker score wins, first language in _LANG_MARKERS
+    order wins ties, non-ASCII-heavy -> 'other', zero hits ->
+    'unknown'.
+
+    ``with_repetition=True`` also emits ``dup_line_frac`` /
+    ``top2gram_frac`` (the ``append_repetition`` signals) from the SAME
+    pass, so a caller needing all four pays one Arrow round-trip of the
+    text column instead of two chained kernels."""
+    import re
+    from typing import Iterator
+
+    from pyspark.sql import types as T
+
+    extra = ([T.StructField(prefix + "dup_line_frac", T.DoubleType()),
+              T.StructField(prefix + "top2gram_frac", T.DoubleType())]
+             if with_repetition else [])
+    out_schema = T.StructType(
+        list(df.schema.fields) + extra
+        + [T.StructField(prefix + "lang_guess", T.StringType()),
+           T.StructField(prefix + "quality_score", T.DoubleType())])
+
+    re_alpha = re.compile(r"[A-Za-z]")
+    re_punct = re.compile(r"[.,!?;:'\"()\[\]{}-]")
+    re_nonascii = re.compile(r"[^\x00-\x7F]")
+    sw = set(_EN_STOPWORDS)
+    markers = {k: set(v) for k, v in _LANG_MARKERS.items()}
+
+    def lang(nonascii_cnt: int, words: list, n_chars: int) -> str:
+        if nonascii_cnt * 3 > n_chars:
+            return "other"
+        best, score = None, 0
+        for lg, mk in markers.items():
+            s = sum(w in mk for w in words)
+            if s > score:
+                best, score = lg, s
+        return best if score > 0 else "unknown"
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            res = pdf.copy()
+            txt = pdf[text_col].fillna("")
+            if with_repetition:
+                reps = txt.map(_rep_signals)
+                res[prefix + "dup_line_frac"] = reps.map(
+                    lambda p: p[0]).astype("float64")
+                res[prefix + "top2gram_frac"] = reps.map(
+                    lambda p: p[1]).astype("float64")
+            n = txt.str.len().astype("float64")
+            ntok = txt.str.strip().str.split().map(len) \
+                      .to_numpy(dtype=np.int64)
+            low = txt.str.lower().str.strip().str.split()
+            n_alpha = txt.map(
+                lambda s: len(re_alpha.findall(s))).to_numpy(float)
+            n_punct = txt.map(
+                lambda s: len(re_punct.findall(s))).to_numpy(float)
+            n_na = txt.map(lambda s: len(re_nonascii.findall(s)))
+            hits = low.map(lambda ws: sum(w in sw for w in ws)) \
+                      .to_numpy(dtype=np.int64)
+            res[prefix + "lang_guess"] = [
+                lang(a, ws, c)
+                for a, ws, c in zip(n_na, low, txt.str.len())]
+            nn = n.to_numpy()
+            len_score = np.minimum(nn / 500.0, 1.0)
+            awl = np.where(ntok > 0,
+                           n_alpha / np.clip(ntok, 1, None), 0.0)
+            awl_score = np.where((awl >= 3) & (awl <= 10), 1.0, 0.5)
+            pr = np.where(nn > 0, n_punct / np.clip(nn, 1, None), 0.0)
+            punct_score = np.where(pr < 0.1, 1.0, 0.5)
+            swr = np.where(ntok > 0,
+                           hits / np.clip(ntok, 1, None), 0.0)
+            sw_score = np.minimum(swr * 5.0, 1.0)
+            res[prefix + "quality_score"] = (
+                len_score + awl_score + punct_score + sw_score) / 4.0
             yield res
 
     return df.mapInPandas(batches, out_schema)

@@ -767,6 +767,48 @@ def test_repetition_signals(spark):
         assert abs(k[i][1] - t2) < 1e-9, f"kernel t2 doc {i}"
 
 
+def test_append_lang_quality_matches_column_path(spark, docs_df):
+    """The Arrow kernel (append_lang_quality) and the Column twins
+    (lang_guess / quality_score) must agree doc-for-doc, including the
+    tie-break (first language in _LANG_MARKERS order wins on equal
+    marker score), NULL/empty docs, and the with_repetition fusion."""
+    import pyspark.sql.functions as F
+    from openmldb_spark.pipeline.text import (
+        append_lang_quality, append_repetition, lang_guess,
+        quality_score)
+
+    extra = spark.createDataFrame(
+        [(100, None),                       # NULL -> unknown / base score
+         (101, "le la le les des"),         # fr markers
+         (102, "der die und das ist gut"),  # de markers
+         (103, "la de"),                    # es/fr tie on 'la' -> es first
+         (104, "éééé x")],  # non-ASCII-heavy -> other
+        "doc_id int, text string")
+    df = docs_df.unionByName(extra)
+
+    e = {r["doc_id"]: (r["l"], r["q"]) for r in
+         df.select("doc_id", lang_guess(F.col("text")).alias("l"),
+                   quality_score(F.col("text")).alias("q")).collect()}
+    k = {r["doc_id"]: (r["lang_guess"], r["quality_score"]) for r in
+         append_lang_quality(df).collect()}
+    assert set(e) == set(k)
+    for i in e:
+        assert e[i][0] == k[i][0], f"lang doc {i}: {e[i][0]} vs {k[i][0]}"
+        assert abs(e[i][1] - k[i][1]) < 1e-9, f"quality doc {i}"
+    assert k[101][0] == "fr" and k[102][0] == "de"
+    assert k[103][0] == "es" and k[104][0] == "other"
+    assert k[100][0] == "unknown"
+
+    # fused mode == chained kernels, repetition columns included
+    fused = append_lang_quality(df, with_repetition=True) \
+        .toPandas().sort_values("doc_id").reset_index(drop=True)
+    chained = append_lang_quality(append_repetition(df)) \
+        .toPandas().sort_values("doc_id") \
+        .reset_index(drop=True)[list(fused.columns)]
+    import pandas as pd
+    pd.testing.assert_frame_equal(fused, chained)
+
+
 def test_scrub_pii_differential(spark):
     """scrub_pii masks emails/IPs/phones; Spark (Java regex), DuckDB
     (RE2), and Python re agree on every case; idempotent; plain text
