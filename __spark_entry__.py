@@ -552,15 +552,21 @@ def q_backfill(spark, sf_dir):
 
 
 def q_lag(spark, sf_dir):
+    """lag (reference semantics) + lead (beyond-reference label
+    construction — the next turn's value/type as a training target;
+    forward-looking by design) in one driver entry."""
     spec = WindowSpecFE(["user_id"], "ts", frame="rows", start=0, end=0,
                         tiebreak=("event_id",))
     out = window_agg(_win_events(spark, sf_dir), spec, [
         Agg("lag1", "lag", "value", n=1),
         Agg("lag3", "lag", "value", n=3),
-        Agg("prev_type", "lag", "event_type", n=1)])
+        Agg("prev_type", "lag", "event_type", n=1),
+        Agg("lead1", "lead", "value", n=1),
+        Agg("next_type", "lead", "event_type", n=1)])
     return out.select("event_id", "user_id",
                       _r4("lag1").alias("lag1"),
-                      _r4("lag3").alias("lag3"), "prev_type")
+                      _r4("lag3").alias("lag3"), "prev_type",
+                      _r4("lead1").alias("lead1"), "next_type")
 
 
 # ---------------------------------------------------------------------------
@@ -1789,7 +1795,9 @@ FROM (SELECT event_id, user_id, ts,
 SELECT event_id, user_id,
        ROUND(lag(value, 1) OVER w + 0.000001, 4) AS lag1,
        ROUND(lag(value, 3) OVER w + 0.000001, 4) AS lag3,
-       lag(event_type, 1) OVER w AS prev_type
+       lag(event_type, 1) OVER w AS prev_type,
+       ROUND(lead(value, 1) OVER w + 0.000001, 4) AS lead1,
+       lead(event_type, 1) OVER w AS next_type
 FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id)
 """,

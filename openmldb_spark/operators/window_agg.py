@@ -278,6 +278,15 @@ def _native_expr(a: Agg, w, w_unb, dtypes: dict[str, str] | None = None) -> Colu
         # lag(c, 0) is the CURRENT row's value (golden
         # test_udaf_function.yaml#46/#59); `or 1` would coerce 0 to 1
         return F.lag(c, a.n if a.n is not None else 1).over(w_unb)
+    elif a.fn == "lead":
+        # FORWARD-looking by design — label construction only (the
+        # next turn's value as a training target), never a feature
+        # input: the engine's temporal-leakage guarantee applies to
+        # feature columns, and lead is the one op that deliberately
+        # reads the future. Beyond the reference surface (OpenMLDB has
+        # lag/at only); positional over the partition ordering, so it
+        # ignores the frame, like Spark's own lead.
+        return F.lead(c, a.n if a.n is not None else 1).over(w_unb)
     elif a.fn == "top":
         # value rendering follows v1::format_string (udf.cc:1267-1274:
         # float/double %f, integrals plain) so the native and kernel
@@ -295,7 +304,8 @@ def _native_expr(a: Agg, w, w_unb, dtypes: dict[str, str] | None = None) -> Colu
 
 _NATIVE_FNS = {"count", "sum", "avg", "median", "min", "max",
                "count_where", "sum_where", "avg_where", "min_where",
-               "max_where", "distinct_count", "first_value", "lag", "top"}
+               "max_where", "distinct_count", "first_value", "lag",
+               "lead", "top"}
 _SPLIT_FNS = {"distinct_count_split", "count_split", "join_split",
               "top1_ratio_split", "topn_frequency_split"}
 _CATE_BASES = ("count", "sum", "avg", "min", "max")
@@ -1290,6 +1300,15 @@ def window_agg(df: DataFrame, spec: WindowSpecFE, aggs: Sequence[Agg],
 
     use_kernel = spec.needs_kernel() or skew is not None \
         or any(a.fn not in _NATIVE_FNS or a.cond_l for a in aggs)
+
+    if use_kernel and any(a.fn == "lead" for a in aggs):
+        # lead has no buffered-frame semantics (it reads FUTURE rows
+        # for label construction); kernel-only window attributes
+        # (MAXSIZE/EXCLUDE/union/...) would silently change what "next
+        # row" means, so reject instead of guessing
+        raise ValueError(
+            "lead is native-only: compute it in a separate window_agg "
+            "call without kernel-only spec attributes / skew config")
 
     if not use_kernel and not spec.union_dfs:
         return _native(df, spec, aggs)

@@ -293,3 +293,32 @@ def test_skew_salting_replication_is_frame_bounded(spark):
     # (≈ 1.5n here); bounded only the ≈12% of each part near a boundary
     assert n_u > n
     assert n_b < 0.4 * n, (n_b, n_u)
+
+
+def test_lead_native_label_construction(spark):
+    """lead(n) reads the n-th FUTURE row in partition order — label
+    construction (beyond the reference surface, which has lag/at only).
+    Golden per-key expectations + the guard that kernel-only specs
+    reject lead instead of silently changing what "next row" means."""
+    import pytest
+
+    spec = WindowSpecFE(["c1"], "c7", frame="rows", start=1, end=0)
+    got = run(spark, micro_pdf(), spec,
+              [Agg("nxt", "lead", "c4", n=1),
+               Agg("nxt2", "lead", "c4", n=2),
+               Agg("prv", "lag", "c4", n=1)])
+    exp = {("aa", 1): (2.0, 3.0, None), ("aa", 2): (3.0, None, 1.0),
+           ("aa", 3): (None, None, 2.0), ("bb", 10): (20.0, None, None),
+           ("bb", 20): (None, None, 10.0)}
+    for _, r in got.iterrows():
+        e = exp[(r["c1"], r["c4"])]
+        for got_v, exp_v in zip((r["nxt"], r["nxt2"], r["prv"]), e):
+            if exp_v is None:
+                assert pd.isna(got_v)
+            else:
+                assert got_v == exp_v
+
+    with pytest.raises(ValueError, match="lead is native-only"):
+        bad = WindowSpecFE(["c1"], "c7", frame="range", start=1000,
+                           end=0, maxsize=2)
+        run(spark, micro_pdf(), bad, [Agg("nxt", "lead", "c4", n=1)])
