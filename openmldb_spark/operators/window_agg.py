@@ -1301,14 +1301,18 @@ def window_agg(df: DataFrame, spec: WindowSpecFE, aggs: Sequence[Agg],
     use_kernel = spec.needs_kernel() or skew is not None \
         or any(a.fn not in _NATIVE_FNS or a.cond_l for a in aggs)
 
-    if use_kernel and any(a.fn == "lead" for a in aggs):
+    if (use_kernel or spec.union_dfs) \
+            and any(a.fn == "lead" for a in aggs):
         # lead has no buffered-frame semantics (it reads FUTURE rows
         # for label construction); kernel-only window attributes
-        # (MAXSIZE/EXCLUDE/union/...) would silently change what "next
-        # row" means, so reject instead of guessing
+        # (MAXSIZE/EXCLUDE/...) and WINDOW UNION (which doesn't set
+        # use_kernel but interleaves frame-only rows into the ordering)
+        # would silently change what "next row" means, so reject
+        # instead of guessing
         raise ValueError(
             "lead is native-only: compute it in a separate window_agg "
-            "call without kernel-only spec attributes / skew config")
+            "call without union tables, kernel-only spec attributes, "
+            "or skew config")
 
     if not use_kernel and not spec.union_dfs:
         return _native(df, spec, aggs)

@@ -238,6 +238,48 @@ def append_repetition(df: DataFrame, text_col: str = "text",
     return df.mapInPandas(batches, out_schema)
 
 
+def _lang_guess_batch(n_na, low_toks, n_chars) -> list:
+    """Single source of truth for the kernel language ID (tie-break:
+    first language in _LANG_MARKERS order wins on equal marker score;
+    non-ASCII-heavy -> 'other'; zero hits -> 'unknown') — shared by
+    _text_features_kernel and append_lang_quality so the two kernels
+    cannot drift; the Column twin ``lang_guess`` and the driver oracle
+    mirror it (equivalence test-asserted)."""
+    markers = {k: set(v) for k, v in _LANG_MARKERS.items()}
+    out = []
+    for na, ws, ln in zip(n_na, low_toks, n_chars):
+        if na * 3 > ln:
+            out.append("other")
+            continue
+        best, score = None, 0
+        for lg, mk in markers.items():
+            s = sum(w in mk for w in ws)
+            if s > score:
+                best, score = lg, s
+        out.append(best if score > 0 else "unknown")
+    return out
+
+
+def _quality_score_batch(n, ntok, n_alpha, n_punct, swr) -> np.ndarray:
+    """Single source of truth for the kernel quality score (length
+    sweet-spot + word-length plausibility + punctuation moderation +
+    stopword presence, /4) — shared by _text_features_kernel and
+    append_lang_quality; the Column twin ``quality_score`` and the
+    driver oracle mirror the formula."""
+    n = np.asarray(n, dtype=np.float64)
+    ntok = np.asarray(ntok, dtype=np.int64)
+    n_alpha = np.asarray(n_alpha, dtype=np.float64)
+    n_punct = np.asarray(n_punct, dtype=np.float64)
+    swr = np.asarray(swr, dtype=np.float64)
+    len_score = np.minimum(n / 500.0, 1.0)
+    awl = np.where(ntok > 0, n_alpha / np.clip(ntok, 1, None), 0.0)
+    awl_score = np.where((awl >= 3) & (awl <= 10), 1.0, 0.5)
+    pr = np.where(n > 0, n_punct / np.clip(n, 1, None), 0.0)
+    punct_score = np.where(pr < 0.1, 1.0, 0.5)
+    sw_score = np.minimum(swr * 5.0, 1.0)
+    return (len_score + awl_score + punct_score + sw_score) / 4.0
+
+
 def append_lang_quality(df: DataFrame, text_col: str = "text",
                         prefix: str = "",
                         with_repetition: bool = False) -> DataFrame:
@@ -274,17 +316,6 @@ def append_lang_quality(df: DataFrame, text_col: str = "text",
     re_punct = re.compile(r"[.,!?;:'\"()\[\]{}-]")
     re_nonascii = re.compile(r"[^\x00-\x7F]")
     sw = set(_EN_STOPWORDS)
-    markers = {k: set(v) for k, v in _LANG_MARKERS.items()}
-
-    def lang(nonascii_cnt: int, words: list, n_chars: int) -> str:
-        if nonascii_cnt * 3 > n_chars:
-            return "other"
-        best, score = None, 0
-        for lg, mk in markers.items():
-            s = sum(w in mk for w in words)
-            if s > score:
-                best, score = lg, s
-        return best if score > 0 else "unknown"
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -296,7 +327,7 @@ def append_lang_quality(df: DataFrame, text_col: str = "text",
                     lambda p: p[0]).astype("float64")
                 res[prefix + "top2gram_frac"] = reps.map(
                     lambda p: p[1]).astype("float64")
-            n = txt.str.len().astype("float64")
+            n = txt.str.len().to_numpy(dtype=np.float64)
             ntok = txt.str.strip().str.split().map(len) \
                       .to_numpy(dtype=np.int64)
             low = txt.str.lower().str.strip().str.split()
@@ -307,21 +338,12 @@ def append_lang_quality(df: DataFrame, text_col: str = "text",
             n_na = txt.map(lambda s: len(re_nonascii.findall(s)))
             hits = low.map(lambda ws: sum(w in sw for w in ws)) \
                       .to_numpy(dtype=np.int64)
-            res[prefix + "lang_guess"] = [
-                lang(a, ws, c)
-                for a, ws, c in zip(n_na, low, txt.str.len())]
-            nn = n.to_numpy()
-            len_score = np.minimum(nn / 500.0, 1.0)
-            awl = np.where(ntok > 0,
-                           n_alpha / np.clip(ntok, 1, None), 0.0)
-            awl_score = np.where((awl >= 3) & (awl <= 10), 1.0, 0.5)
-            pr = np.where(nn > 0, n_punct / np.clip(nn, 1, None), 0.0)
-            punct_score = np.where(pr < 0.1, 1.0, 0.5)
             swr = np.where(ntok > 0,
                            hits / np.clip(ntok, 1, None), 0.0)
-            sw_score = np.minimum(swr * 5.0, 1.0)
-            res[prefix + "quality_score"] = (
-                len_score + awl_score + punct_score + sw_score) / 4.0
+            res[prefix + "lang_guess"] = _lang_guess_batch(
+                n_na, low, txt.str.len())
+            res[prefix + "quality_score"] = _quality_score_batch(
+                n, ntok, n_alpha, n_punct, swr)
             yield res
 
     return df.mapInPandas(batches, out_schema)
@@ -484,7 +506,6 @@ def _text_features_kernel(df: DataFrame, text_col: str,
                   if prefix + n in feat_by_name])
 
     sw = set(_EN_STOPWORDS)
-    markers = {k: set(v) for k, v in _LANG_MARKERS.items()}
     re_alpha = re.compile(r"[A-Za-z]")
     re_digit = re.compile(r"[0-9]")
     re_punct = re.compile(r"[.,!?;:'\"()\[\]{}-]")
@@ -526,30 +547,12 @@ def _text_features_kernel(df: DataFrame, text_col: str,
             swr = np.where(ntok > 0, hits / ntok.clip(lower=1), 0.0)
             res[prefix + "stopword_ratio"] = swr
 
-            def lang(nonascii_cnt, words, n_chars):
-                if nonascii_cnt * 3 > n_chars:
-                    return "other"
-                # same tie-break as the expr path: first language in
-                # _LANG_MARKERS order wins on equal score
-                best, score = None, 0
-                for lg, mk in markers.items():
-                    s = sum(w in mk for w in words)
-                    if s > score:
-                        best, score = lg, s
-                return best if score > 0 else "unknown"
-
-            res[prefix + "lang_guess"] = [
-                lang(na, ws, ln)
-                for na, ws, ln in zip(n_na, low_toks, txt.str.len())]
-            n = txt.str.len().astype("float64")
-            len_score = np.minimum(n / 500.0, 1.0)
-            awl = np.where(ntok > 0, n_alpha / ntok.clip(lower=1), 0.0)
-            awl_score = np.where((awl >= 3) & (awl <= 10), 1.0, 0.5)
-            pr = np.where(n > 0, n_punct / n.clip(lower=1), 0.0)
-            punct_score = np.where(pr < 0.1, 1.0, 0.5)
-            sw_score = np.minimum(swr * 5.0, 1.0)
-            res[prefix + "quality_score"] = (
-                len_score + awl_score + punct_score + sw_score) / 4.0
+            # lang/quality via the shared batch helpers — the SAME code
+            # append_lang_quality runs, so the two kernels cannot drift
+            res[prefix + "lang_guess"] = _lang_guess_batch(
+                n_na, low_toks, txt.str.len())
+            res[prefix + "quality_score"] = _quality_score_batch(
+                txt.str.len(), ntok, n_alpha, n_punct, swr)
 
             def fp(s: str) -> int:
                 s = s.lower()

@@ -2526,10 +2526,34 @@ def _coerce_literal_in(sql_text: str) -> str:
     """Reference IN-list literal coercion (cases/query/simple_query.yaml
     in_predicate_type_cast_3/_4): '1' IN (1.0, 2.0) and 1 IN (1.0, '2')
     compare NUMERICALLY — any fractional literal among the operands
-    pulls string literals to DOUBLE. Spark's legacy (non-ANSI) resolver
-    instead widens the set to STRING and compares lexically
-    ('1' != '1.0' -> false). Literal-only by construction; column-ref
-    coercions are handled below in _wrap_compare_operands."""
+    pulls string literals to DOUBLE. Golden-case runs execute under
+    spark.sql.ansi.enabled=false (for cast-failure->NULL parity with
+    the reference's C++), where Spark's legacy resolver widens the set
+    to STRING and compares lexically ('1' != '1.0' -> false) — this
+    rewrite is what makes those cases match. Under ANSI sessions
+    Spark's own resolver already coerces numerically and the added
+    CASTs are semantic no-ops (both modes verified empirically,
+    round 5). Literal-only by construction; column-ref coercions are
+    handled below in _wrap_compare_operands.
+
+    Quote-span aware without _outside_quotes (the lhs operand may
+    itself be a quoted literal, which that helper would excise from the
+    searched segments): a match rewrites only when every string literal
+    it touches is one of its own operands — fully inside the match — so
+    an IN-looking sequence INSIDE a string constant (``WHERE note =
+    'call 1 in (1.5, ''x'') now'``) is left untouched (the corruption
+    class _outside_quotes exists for, ADVICE r2 #5)."""
+    spans = [(qm.start(), qm.end())
+             for qm in _QUOTED_SPAN.finditer(sql_text)]
+
+    def span_safe(m: re.Match) -> bool:
+        for s, e in spans:
+            if e <= m.start() or s >= m.end():
+                continue                      # disjoint span
+            if s < m.start() or e > m.end():
+                return False                  # crosses a match edge
+        return True
+
     def is_str(t: str) -> bool:
         return len(t) >= 2 and t.startswith("'") and t.endswith("'")
 
@@ -2537,6 +2561,8 @@ def _coerce_literal_in(sql_text: str) -> str:
         return re.fullmatch(r"[+-]?\d+(?:\.\d+)?", t) is not None
 
     def sub(m: re.Match) -> str:
+        if not span_safe(m):
+            return m.group(0)
         lhs, neg, body = m.group(1), m.group(2) or "", m.group(3)
         items = [t.strip() for t in body.split(",")]
         ops = [lhs] + items

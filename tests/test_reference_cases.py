@@ -893,9 +893,13 @@ def _values_match(got, exp, dtype_str) -> bool:
 
 # Documented semantic divergences vs the reference goldens. Empty since
 # round 5: the two IN-list literal-coercion corners
-# (simple_query.yaml in_predicate_type_cast_3/_4) now pass natively —
-# Spark 4's ANSI resolver coerces '1' IN (1.0, 2.0) and 1 IN (1.0, '2')
-# to the numeric comparison the reference expects.
+# (simple_query.yaml in_predicate_type_cast_3/_4) pass via
+# sql._coerce_literal_in — golden runs execute under _nonansi
+# (ansi=false for cast-failure->NULL parity), where Spark's legacy
+# resolver widens '1' IN (1.0, 2.0) to STRING and returns false; the
+# rewrite restores the reference's numeric coercion. Under ANSI
+# sessions Spark coerces natively and the rewrite is a semantic no-op
+# (both modes verified empirically, round 5).
 KNOWN_DIVERGENCES: set[str] = set()
 
 # File-scoped: cases whose golden CONTRADICTS the same case in another

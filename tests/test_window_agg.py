@@ -322,3 +322,10 @@ def test_lead_native_label_construction(spark):
         bad = WindowSpecFE(["c1"], "c7", frame="range", start=1000,
                            end=0, maxsize=2)
         run(spark, micro_pdf(), bad, [Agg("nxt", "lead", "c4", n=1)])
+
+    # WINDOW UNION doesn't set needs_kernel() but interleaves
+    # frame-only rows into the ordering — must reject too, or a union
+    # row would silently become the "next row" label
+    with pytest.raises(ValueError, match="lead is native-only"):
+        run(spark, micro_pdf(), spec,
+            [Agg("nxt", "lead", "c4", n=1)], union_pdf=micro_pdf())

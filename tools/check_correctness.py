@@ -103,12 +103,10 @@ def main():
         print(f"FATAL: oracle_sql() keys with no queries() twin: "
               f"{sorted(stray)}")
         sys.exit(2)
-    n_pass = n_fail = 0
-    emitted: set[str] = set()
+    n_pass = n_fail = n_skip = 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
-        emitted.add(name)
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir).toPandas()
@@ -121,6 +119,7 @@ def main():
             print(f"SKIP  {name:32s} rows-only ({len(sdf)} rows, "
                   f"{time.time()-t0:.1f}s)")
             assert len(sdf) >= 0
+            n_skip += 1
             continue
         try:
             odf = con.execute(oracles[name]).fetchdf()
@@ -144,12 +143,14 @@ def main():
         print(f"{status}  {name:32s} {len(sdf):6d} rows "
               f"{time.time()-t0:5.1f}s  {msg if not ok else ''}")
     # Complete-by-construction: with no filter, every queries() entry
-    # must have produced a result row above — a silently-dropped query
-    # can never read as green.
-    if not only and emitted != set(qs):
-        missing = sorted(set(qs) - emitted)
-        print(f"FATAL: gate incomplete — missing {missing}")
-        n_fail += len(missing)
+    # must have printed exactly one PASS/FAIL/SKIP verdict above. Today
+    # every code path in the loop prints before continuing, so this
+    # guards future refactors (a new early-continue that skips the
+    # print) — a silently-dropped query can never read as green.
+    if not only and n_pass + n_fail + n_skip != len(qs):
+        print(f"FATAL: gate incomplete — {n_pass + n_fail + n_skip} "
+              f"verdicts for {len(qs)} queries()")
+        n_fail += len(qs) - (n_pass + n_fail + n_skip)
     print(f"\n{n_pass} pass, {n_fail} fail")
     sys.exit(1 if n_fail else 0)
 
