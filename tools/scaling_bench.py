@@ -126,6 +126,8 @@ def main():
         if prev.get("wall_s") is not None and prev["wall_s"] < r["wall_s"]:
             entry["wall_s"] = prev["wall_s"]
             entry["rows_per_s"] = prev.get("rows_per_s", entry["rows_per_s"])
+        if "note" in prev:          # hand-written provenance survives
+            entry["note"] = prev["note"]
         merged[key] = entry
     # Pair ratios are recomputed from the MERGED per-level minima, not
     # this run's walls — otherwise the stored speedup could contradict
