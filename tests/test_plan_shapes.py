@@ -209,3 +209,22 @@ def test_scale_conf_defaults(spark):
     assert conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
     assert conf.get("spark.sql.execution.arrow.pyspark.enabled") == "true"
     assert conf.get("spark.sql.session.timeZone") == "UTC"
+
+
+def test_pack_chunks_adds_no_exchange(spark):
+    """pack_chunks is pure Catalyst over the pack_offsets output
+    (sequence + explode + codegen'd arithmetic): the offsets'
+    localCheckpoint truncates lineage at the one range shuffle any
+    global order needs, so the chunk-map plan must contain NO Exchange
+    and NO extra Python node beyond the offsets' own mapInPandas."""
+    from openmldb_spark.pipeline.packing import pack_chunks, pack_offsets
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    off = pack_offsets(docs, chunk_tokens=64, num_partitions=4)
+    ch = pack_chunks(docs, chunk_tokens=64, offsets=off)
+    p = plan_of(ch)
+    assert "Exchange" not in p, p
+    # formatted explain names each node once in the tree and once in
+    # the detail section -> exactly one MapInPandas = two mentions
+    assert p.count("MapInPandas") == 2, p      # the offsets kernel only
+    assert "Generate" in p, p                  # the explode is there
