@@ -977,3 +977,109 @@ def test_downsample_per_key(spark):
                                       "source", {"web": 0.3, "wiki": 1.0})
                    .collect())
     assert ids_a == ids_b
+
+
+def test_splitmix_sql_bit_exact_vs_numpy():
+    """The DuckDB HUGEINT rendering of splitmix64-mod-1e6 must equal
+    the numpy kernel bit-for-bit — it is what lets an external engine
+    reproduce split/mix membership (driver oracles dataset_split /
+    cap_mix_sample build on it). Randomized over the full non-negative
+    int64 domain plus structured edges, at several seeds."""
+    import duckdb
+    import numpy as np
+    from openmldb_spark.pipeline.sampling import _splitmix_np, splitmix_sql
+
+    rng = np.random.default_rng(99)
+    ids = np.concatenate([
+        np.array([0, 1, 2, 2**31 - 1, 2**31, 2**62, 2**63 - 1],
+                 dtype=np.uint64),
+        rng.integers(0, 2**63 - 1, 500, dtype=np.int64).astype(np.uint64),
+    ])
+    con = duckdb.connect()
+    for seed in (0, 1, 42, 123456):
+        # numpy kernel: seeded stream position, mod 1e6 (sampling._RES)
+        exp = _splitmix_np(ids + np.uint64((seed * 0x9E3779B97F4A7C15)
+                                           & 0xFFFFFFFFFFFFFFFF)) \
+            % np.uint64(1_000_000)
+        rows = con.execute(
+            f"SELECT {splitmix_sql('i', seed)} FROM "
+            "(SELECT unnest($1::BIGINT[]) AS i)",
+            [[int(x) for x in ids]]).fetchall()
+        got = np.array([r[0] for r in rows], dtype=np.uint64)
+        assert (got == exp).all(), (seed, ids[got != exp][:5])
+
+
+def test_gopher_quality_randomized_differential(spark):
+    """gopher_quality (Catalyst rules + Arrow repetition kernel) vs an
+    independent pure-Python re-implementation of the 8 Gopher rules,
+    over randomized synthetic docs exercising bullets, symbols,
+    newlines, stopwords, repetition, and NULL/empty."""
+    import random
+
+    from openmldb_spark.pipeline.text import (
+        _EN_STOPWORDS, gopher_quality)
+
+    rnd = random.Random(7)
+    words = ["alpha", "beta", "gamma", "de", "x", "##", "the", "a",
+             "longishword", "zz"]
+    docs = []
+    for i in range(60):
+        n_lines = rnd.randint(0, 4)
+        lines = []
+        for _ in range(n_lines):
+            toks = [rnd.choice(words) for _ in range(rnd.randint(0, 12))]
+            prefix = rnd.choice(["", "- ", "* ", "• ", "..."])
+            lines.append(prefix + " ".join(toks))
+        if rnd.random() < 0.2:
+            lines.append(lines[-1] if lines else "")
+        docs.append((i, "\n".join(lines) if lines else
+                     (None if rnd.random() < 0.5 else "")))
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+
+    kw = dict(min_tokens=3, max_tokens=30, min_avg_word_len=1.5,
+              max_avg_word_len=6.0, max_symbol_word_ratio=0.2,
+              max_bullet_line_frac=0.5, min_stopword_hits=1,
+              max_dup_line_frac=0.4, max_top2gram_frac=0.5)
+    got = {r["doc_id"]: (r["gopher_keep"], tuple(r["gopher_reasons"]))
+           for r in gopher_quality(df, **kw).collect()}
+
+    sw = set(_EN_STOPWORDS)
+    import re as _re
+    for i, t in docs:
+        s = t or ""
+        toks = s.split()
+        ntok = len(toks)
+        n_alpha = sum(c.isascii() and c.isalpha() for c in s)
+        awl = n_alpha / ntok if ntok else 0.0
+        n_sym = s.count("#") + len(_re.split(r"\.\.\.", s)) - 1
+        sym = n_sym / ntok if ntok else 0.0
+        lines = [ln.strip() for ln in s.split("\n") if ln.strip()]
+        bullet = (sum(ln.startswith(("-", "*", "•")) for ln in lines)
+                  / len(lines)) if lines else 0.0
+        hits = sum(w in sw for w in s.lower().split())
+        dlf = 1.0 - len(set(lines)) / len(lines) if lines else 0.0
+        ws = s.lower().split()
+        if len(ws) >= 2:
+            from collections import Counter
+            t2g = max(Counter(zip(ws, ws[1:])).values()) / (len(ws) - 1)
+        else:
+            t2g = 0.0
+        exp = []
+        if ntok < kw["min_tokens"]:
+            exp.append("too_few_tokens")
+        if ntok > kw["max_tokens"]:
+            exp.append("too_many_tokens")
+        if awl < kw["min_avg_word_len"] or awl > kw["max_avg_word_len"]:
+            exp.append("avg_word_len")
+        if sym > kw["max_symbol_word_ratio"]:
+            exp.append("symbol_ratio")
+        if bullet > kw["max_bullet_line_frac"]:
+            exp.append("bullet_lines")
+        if hits < kw["min_stopword_hits"]:
+            exp.append("few_stopwords")
+        if dlf > kw["max_dup_line_frac"]:
+            exp.append("dup_lines")
+        if t2g > kw["max_top2gram_frac"]:
+            exp.append("repeated_2grams")
+        assert got[i] == (not exp, tuple(exp)), \
+            (i, repr(s), got[i], exp)
