@@ -1083,3 +1083,55 @@ def test_gopher_quality_randomized_differential(spark):
             exp.append("repeated_2grams")
         assert got[i] == (not exp, tuple(exp)), \
             (i, repr(s), got[i], exp)
+
+
+def test_line_dedup_randomized_differential(spark):
+    """line_dedup (posexplode -> hashed count -> anti-join -> ordered
+    rebuild) vs an independent pandas reference, over randomized
+    corpora with shared boilerplate lines, blank/whitespace lines,
+    duplicate lines within one doc, NULL and empty docs, and both
+    hash_lines modes, at two max_occurrences settings."""
+    import random
+
+    from openmldb_spark.pipeline.dedup import line_dedup
+
+    rnd = random.Random(11)
+    pool = ["nav home about", "cookie notice", "unique %d",
+            "  spaced  ", "", "   ", "footer text", "x y z"]
+    docs = []
+    for i in range(40):
+        if rnd.random() < 0.08:
+            docs.append((i, None))
+            continue
+        n = rnd.randint(0, 6)
+        lines = []
+        for _ in range(n):
+            ln = rnd.choice(pool)
+            lines.append(ln % i if "%d" in ln else ln)
+        docs.append((i, "\n".join(lines)))
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+
+    for max_occ in (1, 2):
+        # independent reference: count trimmed non-empty lines across
+        # the corpus, drop those over the threshold, keep order
+        from collections import Counter
+        cnt = Counter()
+        for _, t in docs:
+            for ln in (t or "").split("\n") if t is not None else []:
+                if ln.strip():
+                    cnt[ln.strip()] += 1
+        exp = {}
+        for i, t in docs:
+            if t is None:
+                exp[i] = None
+                continue
+            kept = [ln for ln in t.split("\n")
+                    if not ln.strip() or cnt[ln.strip()] <= max_occ]
+            exp[i] = "\n".join(kept)
+        for hash_lines in (True, False):
+            got = {r["doc_id"]: r["text"] for r in
+                   line_dedup(df, max_occurrences=max_occ,
+                              hash_lines=hash_lines).collect()}
+            assert got == exp, (max_occ, hash_lines,
+                                {k: (got[k], exp[k]) for k in got
+                                 if got[k] != exp[k]})
