@@ -613,7 +613,7 @@ def q_text_features(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     t = F.col("text")
     cc = char_class_counts(t)
-    toks = F.split(F.trim(t), r"\s+")
+    toks = F.split(TXT._wtrim(t), r"\s+")
     hits = F.size(F.filter(toks, lambda w: F.lower(w).isin(_STOPWORDS)))
     # Repetition signals + lang-id + quality score via ONE Arrow
     # kernel pass (zero shuffle, text serialized to Python once): the
@@ -1263,7 +1263,7 @@ ex AS (
        UNNEST(generate_series(1, len(ls))) AS u(i)
 ),
 dup AS (
-  SELECT trim(line) AS k FROM ex WHERE trim(line) <> ''
+  SELECT regexp_replace(line, '^\\s+|\\s+$', '', 'g') AS k FROM ex WHERE regexp_replace(line, '^\\s+|\\s+$', '', 'g') <> ''
   GROUP BY 1 HAVING count(*) > 1
 )
 SELECT s.doc_id, COALESCE(r.clean, '') AS clean_text,
@@ -1272,7 +1272,7 @@ FROM src s
 LEFT JOIN (
   SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean
   FROM ex
-  WHERE trim(line) = '' OR trim(line) NOT IN (SELECT k FROM dup)
+  WHERE regexp_replace(line, '^\\s+|\\s+$', '', 'g') = '' OR regexp_replace(line, '^\\s+|\\s+$', '', 'g') NOT IN (SELECT k FROM dup)
   GROUP BY doc_id) r USING (doc_id)
 JOIN (SELECT doc_id, {scrub} AS scrubbed_text
       FROM documents) p USING (doc_id)
@@ -1287,10 +1287,10 @@ def _gopher_oracle_sql() -> str:
 WITH base AS (SELECT doc_id, COALESCE(text, '') AS t FROM documents),
 tok AS (
   SELECT doc_id, t,
-         CASE WHEN strlen(trim(t)) = 0 THEN CAST([] AS VARCHAR[])
-              ELSE regexp_split_to_array(trim(t), '\\s+') END AS toks,
-         CASE WHEN strlen(trim(t)) = 0 THEN CAST([] AS VARCHAR[])
-              ELSE regexp_split_to_array(trim(lower(t)), '\\s+')
+         CASE WHEN strlen(regexp_replace(t, '^\\s+|\\s+$', '', 'g')) = 0 THEN CAST([] AS VARCHAR[])
+              ELSE regexp_split_to_array(regexp_replace(t, '^\\s+|\\s+$', '', 'g'), '\\s+') END AS toks,
+         CASE WHEN strlen(regexp_replace(t, '^\\s+|\\s+$', '', 'g')) = 0 THEN CAST([] AS VARCHAR[])
+              ELSE regexp_split_to_array(regexp_replace(lower(t), '^\\s+|\\s+$', '', 'g'), '\\s+')
          END AS low
   FROM base
 ),
@@ -1310,7 +1310,7 @@ m AS (
       AS n_alpha,
     (strlen(t) - strlen(replace(t, '#', '')))
       + len(string_split(t, '...')) - 1 AS n_sym,
-    list_filter(list_transform(string_split(t, chr(10)), x -> trim(x)),
+    list_filter(list_transform(string_split(t, chr(10)), x -> regexp_replace(x, '^\\s+|\\s+$', '', 'g')),
                 x -> x <> '') AS lines,
     len(list_filter(low, x -> list_contains({_SW_SQL}, x))) AS sw_hits,
     COALESCE(CAST(bgtop.topc AS DOUBLE)
@@ -1361,7 +1361,7 @@ def _lang_qs_sql() -> tuple[str, str]:
     strictly-greater wins, first language in _LANG_MARKERS order wins
     ties; non-ASCII-heavy -> 'other'; all-zero hits -> 'unknown'."""
     from openmldb_spark.pipeline.text import _LANG_MARKERS
-    low = "regexp_split_to_array(trim(lower(text)), '\\s+')"
+    low = "regexp_split_to_array(regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g'), '\\s+')"
     hits = {}
     for lg, markers in _LANG_MARKERS.items():
         lst = "[" + ", ".join(f"'{w}'" for w in markers) + "]"
@@ -1379,8 +1379,8 @@ def _lang_qs_sql() -> tuple[str, str]:
                 f"THEN 'unknown' " + " ".join(cases)
                 + f" ELSE '{langs[-1]}' END")
 
-    ntok = ("CASE WHEN length(trim(text)) = 0 THEN 0 "
-            "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END")
+    ntok = ("CASE WHEN length(regexp_replace(text, '^\\s+|\\s+$', '', 'g')) = 0 THEN 0 "
+            "ELSE len(regexp_split_to_array(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')) END")
     n_alpha = ("(length(text) - length(regexp_replace(text, "
                "'[A-Za-z]', '', 'g')))")
     n_punct = ("(length(text) - length(regexp_replace(text, "
@@ -1831,8 +1831,8 @@ FROM events
         "text_features": f"""
 SELECT doc_id,
        CAST(length(text) AS BIGINT) AS n_chars_calc,
-       CAST(CASE WHEN length(trim(text)) = 0 THEN 0
-                 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END
+       CAST(CASE WHEN length(regexp_replace(text, '^\\s+|\\s+$', '', 'g')) = 0 THEN 0
+                 ELSE len(regexp_split_to_array(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')) END
             AS BIGINT) AS n_tokens,
        CAST(length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g'))
             AS BIGINT) AS n_alpha,
@@ -1840,27 +1840,27 @@ SELECT doc_id,
             AS BIGINT) AS n_digit,
        CAST(length(text) - length(regexp_replace(text, '\\s', '', 'g'))
             AS BIGINT) AS n_space,
-       CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+       CAST(len(list_filter(regexp_split_to_array(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+'),
                             x -> x = 'the')) AS BIGINT) AS n_the,
-       ROUND(CASE WHEN length(trim(text)) = 0 THEN 0.0 ELSE
-         CAST(len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+       ROUND(CASE WHEN length(regexp_replace(text, '^\\s+|\\s+$', '', 'g')) = 0 THEN 0.0 ELSE
+         CAST(len(list_filter(regexp_split_to_array(regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g'), '\\s+'),
                               x -> list_contains({_SW_SQL}, x))) AS DOUBLE)
-         / CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE)
+         / CAST(len(regexp_split_to_array(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')) AS DOUBLE)
        END + 0.000001, 4) AS stopword_ratio,
        {_LANG_SQL} AS lang_id,
        {_QS_SQL} AS quality_score,
        ROUND(CASE WHEN len(list_filter(list_transform(
-                    string_split(text, chr(10)), x -> trim(x)),
+                    string_split(text, chr(10)), x -> regexp_replace(x, '^\\s+|\\s+$', '', 'g')),
                   x -> x <> '')) > 0
          THEN 1.0 - CAST(len(list_distinct(list_filter(list_transform(
-                      string_split(text, chr(10)), x -> trim(x)),
+                      string_split(text, chr(10)), x -> regexp_replace(x, '^\\s+|\\s+$', '', 'g')),
                     x -> x <> ''))) AS DOUBLE)
               / CAST(len(list_filter(list_transform(
-                      string_split(text, chr(10)), x -> trim(x)),
+                      string_split(text, chr(10)), x -> regexp_replace(x, '^\\s+|\\s+$', '', 'g')),
                     x -> x <> '')) AS DOUBLE)
          ELSE 0.0 END + 0.000001, 4) AS dup_line_frac,
        ROUND(COALESCE(CAST(top.topc AS DOUBLE)
-                      / CAST(len(regexp_split_to_array(trim(lower(text)),
+                      / CAST(len(regexp_split_to_array(regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g'),
                                                        '\\s+')) - 1
                              AS DOUBLE),
                       0.0) + 0.000001, 4) AS top2gram_frac
@@ -1870,7 +1870,7 @@ LEFT JOIN (
   FROM (SELECT doc_id, bg, count(*) AS c
         FROM (SELECT doc_id, w[i] || ' ' || w[i + 1] AS bg
               FROM (SELECT doc_id,
-                           regexp_split_to_array(trim(lower(text)),
+                           regexp_split_to_array(regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g'),
                                                  '\\s+') AS w
                     FROM documents) toks,
                    UNNEST(generate_series(1, len(w) - 1)) AS u(i)
@@ -1951,8 +1951,8 @@ WHERE rank <= 7
         "pack_offsets": """
 WITH tc AS (
   SELECT doc_id,
-         CASE WHEN strlen(trim(text)) = 0 THEN 0
-              ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+         CASE WHEN strlen(regexp_replace(text, '^\\s+|\\s+$', '', 'g')) = 0 THEN 0
+              ELSE len(regexp_split_to_array(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+'))
          END::BIGINT AS n_tokens
   FROM documents
 ),

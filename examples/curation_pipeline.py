@@ -119,19 +119,27 @@ def main():
     spark = get_spark("curation-pipeline")
 
     kept, offsets, chunks = curate(spark, sf_dir)
+    # The curation DAG is expensive (shuffles, MinHash, Jaccard join);
+    # persist before fanning out into several actions, or each count /
+    # agg / write below re-runs the whole lineage from the scan.
+    # (pack_offsets/pack_chunks already pin their own prefix-sum input
+    # with a localCheckpoint, so only `kept` needs it.)
+    kept = kept.persist()
+    try:
+        n_in = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+        n_kept = kept.count()
+        n_chunks = chunks.select("chunk_id").distinct().count()
+        total_tokens = offsets.agg(F.sum("n_tokens")).first()[0]
+        print(f"docs in: {n_in}  kept: {n_kept}  "
+              f"train tokens: {total_tokens}  chunks: {n_chunks}")
+        print(kept.groupBy("split").count().orderBy("split").collect())
 
-    n_in = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
-    n_kept = kept.count()
-    n_chunks = chunks.select("chunk_id").distinct().count()
-    total_tokens = offsets.agg(F.sum("n_tokens")).first()[0]
-    print(f"docs in: {n_in}  kept: {n_kept}  "
-          f"train tokens: {total_tokens}  chunks: {n_chunks}")
-    print(kept.groupBy("split").count().orderBy("split").collect())
-
-    if out:
-        kept.write.mode("overwrite").partitionBy("split") \
-            .parquet(f"{out}/documents")
-        chunks.write.mode("overwrite").parquet(f"{out}/chunk_map")
+        if out:
+            kept.write.mode("overwrite").partitionBy("split") \
+                .parquet(f"{out}/documents")
+            chunks.write.mode("overwrite").parquet(f"{out}/chunk_map")
+    finally:
+        kept.unpersist()
     spark.stop()
 
 

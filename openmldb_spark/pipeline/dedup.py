@@ -22,6 +22,8 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from openmldb_spark.pipeline.text import _wtrim
+
 # Mersenne prime modulus for the universal-hash family h_i(x) = (a_i*x+b_i) mod p.
 # 2^31-1 keeps (h mod p) * a < 2^62 — no int64 overflow in Catalyst.
 _P = (1 << 31) - 1
@@ -96,10 +98,10 @@ def line_dedup(df: DataFrame, text_col: str = "text",
     lines = (df.select(F.col(id_col),
                        F.posexplode(F.split(t, "\n"))
                        .alias("__pos", "__line")))
-    key = (F.xxhash64(F.trim("__line")) if hash_lines
-           else F.trim(F.col("__line")))
+    key = (F.xxhash64(_wtrim("__line")) if hash_lines
+           else _wtrim(F.col("__line")))
     counted = (lines
-               .filter(F.trim("__line") != "")
+               .filter(_wtrim("__line") != F.lit(""))
                .select(key.alias("__k"))
                .groupBy("__k")
                .agg(F.count("*").alias("__c"))

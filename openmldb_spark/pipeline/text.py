@@ -16,6 +16,8 @@ min-hash). Two execution paths:
 
 from __future__ import annotations
 
+import re
+
 import numpy as np
 import pandas as pd
 
@@ -34,10 +36,24 @@ _EN_STOPWORDS = ["the", "a", "an", "and", "or", "of", "to", "in", "is",
                  "it", "that", "for", "on", "with", "as"]
 
 
+def _wtrim(c: Column | str) -> Column:
+    """Whitespace-aware trim (ASCII \\s, both ends). F.trim strips
+    SPACES only, while the Arrow kernels tokenize with Python
+    str.strip()/str.split() (any whitespace) — a doc edged with a tab
+    or newline would otherwise grow a leading empty token on the
+    Catalyst path but not the kernel path. Every tokenizing and
+    line-trimming path goes through this so Catalyst, the kernels, and
+    the DuckDB driver oracles share ONE convention. (Non-ASCII Unicode
+    whitespace is out of contract: \\s is ASCII in both Java regex and
+    RE2, and the corpora are ASCII.)"""
+    c = F.col(c) if isinstance(c, str) else c
+    return F.regexp_replace(c, r"^\s+|\s+$", "")
+
+
 def _tokens(text: Column) -> Column:
     # NULL-safe: a NULL document tokenizes to [] (token_count 0), never
     # to a NULL that downstream numpy kernels would read as int64-min.
-    t = F.trim(F.coalesce(text, F.lit("")))
+    t = _wtrim(F.coalesce(text, F.lit("")))
     return F.when(F.length(t) == 0, F.array().cast("array<string>")) \
             .otherwise(F.split(t, r"\s+"))
 
@@ -161,7 +177,7 @@ def dup_line_frac(text: Column) -> Column:
     0.0 when the text has no non-empty lines (incl. NULL text)."""
     lines = F.filter(F.transform(F.split(F.coalesce(text, F.lit("")),
                                          "\n"),
-                                 lambda l: F.trim(l)),
+                                 lambda l: _wtrim(l)),
                      lambda l: l != F.lit(""))
     nl = F.size(lines)
     return F.when(
@@ -238,6 +254,37 @@ def append_repetition(df: DataFrame, text_col: str = "text",
     return df.mapInPandas(batches, out_schema)
 
 
+_RE_ALPHA = re.compile(r"[A-Za-z]")
+_RE_DIGIT = re.compile(r"[0-9]")
+_RE_PUNCT = re.compile(r"[.,!?;:'\"()\[\]{}-]")
+_RE_SPACE = re.compile(r"\s")
+_RE_NONASCII = re.compile(r"[^\x00-\x7F]")
+_SW_SET = frozenset(_EN_STOPWORDS)
+
+
+def _token_stats_batch(txt: pd.Series) -> dict:
+    """Shared per-batch tokenization + char-class stats for the Arrow
+    kernels — ONE source for the counting conventions (compiled regex
+    classes, str.strip/split tokenization, stopword set), so
+    _text_features_kernel and append_lang_quality cannot drift on the
+    intermediate stats feeding _lang_guess_batch/_quality_score_batch."""
+    toks = txt.str.strip().str.split()
+    low = txt.str.lower().str.strip().str.split()
+    ntok = toks.map(len).to_numpy(dtype=np.int64)
+    hits = low.map(lambda ws: sum(w in _SW_SET for w in ws)) \
+              .to_numpy(dtype=np.int64)
+    return {
+        "n": txt.str.len().to_numpy(dtype=np.float64),
+        "toks": toks, "low": low, "ntok": ntok, "hits": hits,
+        "n_alpha": txt.map(
+            lambda s: len(_RE_ALPHA.findall(s))).to_numpy(np.float64),
+        "n_punct": txt.map(
+            lambda s: len(_RE_PUNCT.findall(s))).to_numpy(np.float64),
+        "n_na": txt.map(lambda s: len(_RE_NONASCII.findall(s))),
+        "swr": np.where(ntok > 0, hits / np.clip(ntok, 1, None), 0.0),
+    }
+
+
 def _lang_guess_batch(n_na, low_toks, n_chars) -> list:
     """Single source of truth for the kernel language ID (tie-break:
     first language in _LANG_MARKERS order wins on equal marker score;
@@ -312,11 +359,6 @@ def append_lang_quality(df: DataFrame, text_col: str = "text",
         + [T.StructField(prefix + "lang_guess", T.StringType()),
            T.StructField(prefix + "quality_score", T.DoubleType())])
 
-    re_alpha = re.compile(r"[A-Za-z]")
-    re_punct = re.compile(r"[.,!?;:'\"()\[\]{}-]")
-    re_nonascii = re.compile(r"[^\x00-\x7F]")
-    sw = set(_EN_STOPWORDS)
-
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             res = pdf.copy()
@@ -327,23 +369,12 @@ def append_lang_quality(df: DataFrame, text_col: str = "text",
                     lambda p: p[0]).astype("float64")
                 res[prefix + "top2gram_frac"] = reps.map(
                     lambda p: p[1]).astype("float64")
-            n = txt.str.len().to_numpy(dtype=np.float64)
-            ntok = txt.str.strip().str.split().map(len) \
-                      .to_numpy(dtype=np.int64)
-            low = txt.str.lower().str.strip().str.split()
-            n_alpha = txt.map(
-                lambda s: len(re_alpha.findall(s))).to_numpy(float)
-            n_punct = txt.map(
-                lambda s: len(re_punct.findall(s))).to_numpy(float)
-            n_na = txt.map(lambda s: len(re_nonascii.findall(s)))
-            hits = low.map(lambda ws: sum(w in sw for w in ws)) \
-                      .to_numpy(dtype=np.int64)
-            swr = np.where(ntok > 0,
-                           hits / np.clip(ntok, 1, None), 0.0)
+            st = _token_stats_batch(txt)
             res[prefix + "lang_guess"] = _lang_guess_batch(
-                n_na, low, txt.str.len())
+                st["n_na"], st["low"], txt.str.len())
             res[prefix + "quality_score"] = _quality_score_batch(
-                n, ntok, n_alpha, n_punct, swr)
+                st["n"], st["ntok"], st["n_alpha"], st["n_punct"],
+                st["swr"])
             yield res
 
     return df.mapInPandas(batches, out_schema)
@@ -439,7 +470,7 @@ def gopher_quality(df: DataFrame, text_col: str = "text",
                        n_sym.cast("double") / ntok.cast("double")) \
                  .otherwise(F.lit(0.0))
     lines = F.filter(F.transform(F.split(t, "\n"),
-                                 lambda l: F.trim(l)),
+                                 lambda l: _wtrim(l)),
                      lambda l: l != F.lit(""))
     n_lines = F.size(lines)
     bullet_frac = F.when(
@@ -505,13 +536,6 @@ def _text_features_kernel(df: DataFrame, text_col: str,
         fields + [feat_by_name[prefix + n] for n in feat_names
                   if prefix + n in feat_by_name])
 
-    sw = set(_EN_STOPWORDS)
-    re_alpha = re.compile(r"[A-Za-z]")
-    re_digit = re.compile(r"[0-9]")
-    re_punct = re.compile(r"[.,!?;:'\"()\[\]{}-]")
-    re_space = re.compile(r"\s")
-    re_nonascii = re.compile(r"[^\x00-\x7F]")
-
     def xxh(s: str) -> int:
         # 64-bit FNV-1a: fingerprints only need determinism and
         # equal-text => equal-print; hash family differs from the expr
@@ -525,34 +549,27 @@ def _text_features_kernel(df: DataFrame, text_col: str,
         for pdf in it:
             txt = pdf[text_col].fillna("")
             res = pdf.copy()
+            # shared stats + scoring helpers — the SAME code
+            # append_lang_quality runs, so the two kernels cannot drift
+            st = _token_stats_batch(txt)
             res[prefix + "n_chars"] = txt.str.len().astype("int64")
-            toks = txt.str.strip().str.split()
-            ntok = toks.map(len).astype("int64")
-            res[prefix + "n_tokens"] = ntok
-            res[prefix + "n_wordpieces"] = toks.map(
+            res[prefix + "n_tokens"] = st["ntok"]
+            res[prefix + "n_wordpieces"] = st["toks"].map(
                 lambda ws: sum(max(1, -(-len(w) // 4)) for w in ws)
             ).astype("int64")
-            n_alpha = txt.map(lambda s: len(re_alpha.findall(s)))
-            res[prefix + "n_alpha"] = n_alpha.astype("int64")
+            res[prefix + "n_alpha"] = st["n_alpha"].astype(np.int64)
             res[prefix + "n_digit"] = txt.map(
-                lambda s: len(re_digit.findall(s))).astype("int64")
-            n_punct = txt.map(lambda s: len(re_punct.findall(s)))
-            res[prefix + "n_punct"] = n_punct.astype("int64")
+                lambda s: len(_RE_DIGIT.findall(s))).astype("int64")
+            res[prefix + "n_punct"] = st["n_punct"].astype(np.int64)
             res[prefix + "n_space"] = txt.map(
-                lambda s: len(re_space.findall(s))).astype("int64")
-            n_na = txt.map(lambda s: len(re_nonascii.findall(s)))
-            res[prefix + "n_nonascii"] = n_na.astype("int64")
-            low_toks = txt.str.lower().str.strip().str.split()
-            hits = low_toks.map(lambda ws: sum(w in sw for w in ws))
-            swr = np.where(ntok > 0, hits / ntok.clip(lower=1), 0.0)
-            res[prefix + "stopword_ratio"] = swr
-
-            # lang/quality via the shared batch helpers — the SAME code
-            # append_lang_quality runs, so the two kernels cannot drift
+                lambda s: len(_RE_SPACE.findall(s))).astype("int64")
+            res[prefix + "n_nonascii"] = st["n_na"].astype("int64")
+            res[prefix + "stopword_ratio"] = st["swr"]
             res[prefix + "lang_guess"] = _lang_guess_batch(
-                n_na, low_toks, txt.str.len())
+                st["n_na"], st["low"], txt.str.len())
             res[prefix + "quality_score"] = _quality_score_batch(
-                txt.str.len(), ntok, n_alpha, n_punct, swr)
+                st["n"], st["ntok"], st["n_alpha"], st["n_punct"],
+                st["swr"])
 
             def fp(s: str) -> int:
                 s = s.lower()

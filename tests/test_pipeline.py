@@ -1135,3 +1135,43 @@ def test_line_dedup_randomized_differential(spark):
             assert got == exp, (max_occ, hash_lines,
                                 {k: (got[k], exp[k]) for k in got
                                  if got[k] != exp[k]})
+
+
+def test_tokenization_whitespace_convention(spark):
+    """Tab/newline-edged text tokenizes identically on the Catalyst
+    path (token_count/quality_score via _wtrim), the Arrow kernel
+    (str.strip/split), and the DuckDB oracle rendering — the round-5
+    review caught F.trim/trim() (space-only) growing a leading empty
+    token on such docs while the kernel did not (measured
+    quality_score 0.7545 vs 0.6295 on the same doc)."""
+    import duckdb
+    import pandas as pd
+
+    from openmldb_spark.pipeline.text import (
+        append_lang_quality, quality_score, token_count)
+
+    docs = [(1, "\ttab\tthe is of a\n"), (2, "\n\n x \t"),
+            (3, " spaces only "), (4, "")]
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    col = {r["doc_id"]: r for r in df.select(
+        "doc_id", token_count("text").alias("nt"),
+        quality_score(F.col("text")).alias("q")).collect()}
+    assert col[1]["nt"] == 5 and col[2]["nt"] == 1
+    assert col[3]["nt"] == 2 and col[4]["nt"] == 0
+
+    ker = {r["doc_id"]: r for r in append_lang_quality(df).collect()}
+    for i, t in docs:
+        assert len((t or "").split()) == col[i]["nt"], i
+        assert abs(ker[i]["quality_score"] - col[i]["q"]) < 1e-9, i
+
+    # DuckDB oracle twin agrees on the same docs
+    import __spark_entry__ as entrymod
+    con = duckdb.connect()
+    con.register("documents",
+                 pd.DataFrame(docs, columns=["doc_id", "text"]))
+    lang_sql, qs_sql = entrymod._lang_qs_sql()
+    odf = con.execute(
+        f"SELECT doc_id, {qs_sql} AS q FROM documents").fetchdf()
+    for _, r in odf.iterrows():
+        assert abs(r["q"] - round(col[int(r["doc_id"])]["q"] + 1e-6, 4)) \
+            < 1e-4, r["doc_id"]

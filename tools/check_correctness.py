@@ -104,6 +104,7 @@ def main():
               f"{sorted(stray)}")
         sys.exit(2)
     n_pass = n_fail = n_skip = 0
+    emitted: list[str] = []       # appended ONLY where a verdict prints
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -112,12 +113,14 @@ def main():
             sdf = fn(spark, sf_dir).toPandas()
         except Exception:
             print(f"FAIL  {name:32s} SPARK ERROR")
+            emitted.append(name)
             traceback.print_exc()
             n_fail += 1
             continue
         if name not in oracles:
             print(f"SKIP  {name:32s} rows-only ({len(sdf)} rows, "
                   f"{time.time()-t0:.1f}s)")
+            emitted.append(name)
             assert len(sdf) >= 0
             n_skip += 1
             continue
@@ -125,6 +128,7 @@ def main():
             odf = con.execute(oracles[name]).fetchdf()
         except Exception:
             print(f"FAIL  {name:32s} ORACLE ERROR")
+            emitted.append(name)
             traceback.print_exc()
             n_fail += 1
             continue
@@ -132,6 +136,7 @@ def main():
             ok, msg = compare(canon(sdf), canon(odf))
         except Exception:
             print(f"FAIL  {name:32s} COMPARE ERROR")
+            emitted.append(name)
             traceback.print_exc()
             n_fail += 1
             continue
@@ -142,15 +147,19 @@ def main():
             n_fail += 1
         print(f"{status}  {name:32s} {len(sdf):6d} rows "
               f"{time.time()-t0:5.1f}s  {msg if not ok else ''}")
+        emitted.append(name)
     # Complete-by-construction: with no filter, every queries() entry
-    # must have printed exactly one PASS/FAIL/SKIP verdict above. Today
-    # every code path in the loop prints before continuing, so this
-    # guards future refactors (a new early-continue that skips the
-    # print) — a silently-dropped query can never read as green.
-    if not only and n_pass + n_fail + n_skip != len(qs):
-        print(f"FATAL: gate incomplete — {n_pass + n_fail + n_skip} "
-              f"verdicts for {len(qs)} queries()")
-        n_fail += len(qs) - (n_pass + n_fail + n_skip)
+    # must have printed exactly ONE PASS/FAIL/SKIP verdict above.
+    # `emitted` is appended only beside each print, so this names both
+    # silently-dropped queries AND double-printed ones (a bare counter
+    # is fooled by offsetting errors) — guarding future refactors; a
+    # dropped query can never read as green.
+    if not only and sorted(emitted) != sorted(qs):
+        missing = sorted(set(qs) - set(emitted))
+        dupes = sorted({n for n in emitted if emitted.count(n) > 1})
+        print(f"FATAL: gate incomplete — missing {missing}, "
+              f"double-printed {dupes}")
+        n_fail += max(1, len(missing) + len(dupes))
     print(f"\n{n_pass} pass, {n_fail} fail")
     sys.exit(1 if n_fail else 0)
 

@@ -138,11 +138,14 @@ def main():
     m_hi = merged[f"local[{hi}]"]["wall_s"]
     m_speedup = round(m_lo / m_hi, 3)
     m_eff = round(m_speedup / (hi / lo), 3)
+    pair_prev = merged.get(f"pair_{lo}_{hi}", {})
     merged[f"pair_{lo}_{hi}"] = {
         "speedup": m_speedup,
         "scaling_efficiency": m_eff,
         "target": 0.8,
         "meets_target": m_eff >= 0.8,
+        # hand-written provenance survives re-runs, like per-level notes
+        **({"note": pair_prev["note"]} if "note" in pair_prev else {}),
     }
     if (lo, hi) == (2, 8):
         # headline pair (see BENCH/BASELINE.md §3) — keep the top-level
